@@ -1,0 +1,779 @@
+"""Bulk CBD + SHACL-shape-guided extraction as DataFrame programs.
+
+This is the Spark-native re-creation of the reference's extraction
+lifecycle (lib/CBDShapeExtractor.ts:305-508), generalized so that ONE
+job extracts every member at once (the reference's bulkExtract,
+lib/CBDShapeExtractor.ts:68-127, without its single-node worker pool).
+
+Execution model
+---------------
+* All state is keyed by ``member_id``; members are the parallelism axis.
+* CBD closure (lib/CBDShapeExtractor.ts:472-508) = iterative frontier
+  self-join on the subject-keyed triples DataFrame; blank-node recursion
+  guarded by an anti-join against a ``visited_cbd`` set.
+* SHACL path matching (lib/Path.ts) = generated join/union plans;
+  ``*``/``+``/``?`` paths are driver-controlled fixpoint loops with a
+  per-(focus-instance) visited anti-join (lib/Path.ts:227-287).
+* The reference's per-extraction topology trie
+  (lib/CBDShapeExtractor.ts:185-279) is represented as a per-member set
+  of reduced predicate-direction words (see shapes/ast.py); ``found()``
+  short-circuits and required-path validation evaluate those word sets
+  in Arrow-batched pandas UDFs over tiny per-member aggregates — the
+  quad-heavy joins all stay JVM-side.
+* nodeLink recursion (lib/CBDShapeExtractor.ts:419-441) = breadth-first
+  rounds over a ``(member, node, shape)`` work set, memoized by an
+  anti-join against ``visited_shape`` (the reference's
+  maybeExtractRecursively memo, lib/CBDShapeExtractor.ts:361-372); ties
+  within a round are claimed in nodeLink declaration order, matching the
+  reference's depth-first pre-order.
+* Out-of-band dereference (lib/CBDShapeExtractor.ts:326-359,443-459) is
+  not performed at scale: entities with unsatisfied required paths are
+  flagged ``needs_dereference``; an optional driver-side resolver (used
+  by tests to emulate the reference's mocked fetches) feeds flagged URLs
+  back into the store and reruns to fixpoint.
+
+Scale notes
+-----------
+Joins are equi-joins on (node = subject) or (node = object): bucket or
+repartition the triples table by subject for co-location; AQE handles
+skewed hot subjects. Per-member pandas evaluation only touches word
+sets (bounded by extraction size), never the quad stream.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from extract_cbd_shape_spark.model import (
+    BLANK,
+    IRI,
+    LITERAL,
+    QUAD_COLS,
+    Quad,
+    Term,
+    quad_schema,
+    quad_to_row,
+)
+from extract_cbd_shape_spark.shapes.ast import (
+    STEP_SEP,
+    AlternativePath,
+    InversePath,
+    MultiPath,
+    Path,
+    PredicatePath,
+    SequencePath,
+    ShapeTemplate,
+    ROOT_WORD,
+)
+from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
+
+QUAD_STRUCT_DDL = (
+    "struct<subject:string,subject_kind:tinyint,predicate:string,"
+    "object_value:string,object_kind:tinyint,object_lang:string,"
+    "object_datatype:string,graph:string,graph_kind:tinyint>"
+)
+
+# Frontier columns replaced by each path hop; everything else passes through.
+_NODE_COLS = ["node", "node_kind", "node_lang", "node_datatype", "pos", "path_quads"]
+
+
+def _shape_key(t: Optional[Term]) -> Optional[str]:
+    if t is None:
+        return None
+    return f"{t.kind}:{t.value}"
+
+
+@dataclass
+class Member:
+    """One extraction seed (bulkExtract input element)."""
+
+    entity: Term
+    shape: Optional[Term] = None
+    graphs_to_ignore: Sequence[Term] = field(default_factory=tuple)
+
+
+def _sql_extend_word(pos: Column, sign: str, predicate: Column) -> Column:
+    """Reduced-word push in pure SQL (mirrors shapes.ast.extend_word)."""
+    opp = "-" if sign == "+" else "+"
+    new_step = F.concat(F.lit(sign), predicate)
+    opp_step = F.concat(F.lit(opp), predicate)
+    arr = F.when(pos == "", F.array().cast("array<string>")).otherwise(
+        F.split(pos, STEP_SEP)
+    )
+    last = F.try_element_at(arr, F.lit(-1))
+    popped = F.array_join(F.slice(arr, F.lit(1), F.greatest(F.size(arr) - 1, F.lit(0))), STEP_SEP)
+    appended = F.when(pos == "", new_step).otherwise(
+        F.concat(pos, F.lit(STEP_SEP), new_step)
+    )
+    return F.when(last.isNotNull() & (last == opp_step), popped).otherwise(appended)
+
+
+class BulkCBDShapeExtractor:
+    """Spark-native equivalent of the reference CBDShapeExtractor."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        shapes_graph: Optional[ShapesGraph] = None,
+        cbd_default_graph: bool = False,
+        resolver: Optional[Dict[str, List[Quad]]] = None,
+        max_rounds: int = 32,
+        max_deref_rounds: int = 8,
+    ):
+        self.spark = spark
+        self.shapes_graph = shapes_graph
+        self.cbd_default_graph = cbd_default_graph
+        self.resolver = resolver or {}
+        self.max_rounds = max_rounds
+        self.max_deref_rounds = max_deref_rounds
+
+    # ------------------------------------------------------------------ API
+
+    def extract(
+        self,
+        triples: DataFrame,
+        members: Union[Sequence[Member], Sequence[Term]],
+        shape: Optional[Term] = None,
+        graphs_to_ignore: Optional[Sequence[Term]] = None,
+        bulk: bool = False,
+    ) -> Tuple[DataFrame, DataFrame]:
+        """Extract every member; returns (results, flags).
+
+        results: member_id, entity, input_idx + quad columns.
+        flags:   member_id, node, shape_key, missing (needs_dereference).
+
+        ``bulk=True`` additionally ignores, per member, every *other*
+        member's named graph (lib/CBDShapeExtractor.ts:95-99).
+        """
+        norm: List[Member] = []
+        for m in members:
+            if isinstance(m, Member):
+                mm = m
+            else:
+                mm = Member(entity=m)
+            if mm.shape is None and shape is not None:
+                mm = Member(mm.entity, shape, mm.graphs_to_ignore)
+            if graphs_to_ignore:
+                mm = Member(
+                    mm.entity,
+                    mm.shape,
+                    tuple(mm.graphs_to_ignore) + tuple(graphs_to_ignore),
+                )
+            norm.append(mm)
+
+        resolved: set = set()
+        for _ in range(self.max_deref_rounds):
+            run = _Run(self, triples, norm, bulk)
+            results, flags = run.execute()
+            if not self.resolver:
+                return results, flags
+            flagged = [
+                r.node for r in flags.select("node").distinct().collect()
+            ]
+            new_urls = [u for u in flagged if u in self.resolver and u not in resolved]
+            if not new_urls:
+                return results, flags
+            extra: List[Quad] = []
+            for u in new_urls:
+                resolved.add(u)
+                extra.extend(self.resolver[u])
+            extra_df = self.spark.createDataFrame(
+                [quad_to_row(q) for q in extra], quad_schema()
+            )
+            triples = triples.unionByName(extra_df).localCheckpoint()
+        return results, flags
+
+
+class _Run:
+    """One bulk extraction pass over a fixed store."""
+
+    def __init__(self, ex: BulkCBDShapeExtractor, triples: DataFrame,
+                 members: List[Member], bulk: bool):
+        self.ex = ex
+        self.spark = ex.spark
+        self.bulk = bulk
+        self.members = members
+        self.shapes = ex.shapes_graph
+
+        member_rows = []
+        ignore_rows = []
+        for i, m in enumerate(members):
+            member_rows.append(
+                (i, m.entity.value, m.entity.kind, _shape_key(m.shape), i)
+            )
+            for g in m.graphs_to_ignore:
+                ignore_rows.append((i, g.value))
+        self.members_df = self.spark.createDataFrame(
+            member_rows,
+            "member_id long, entity string, entity_kind tinyint, "
+            "shape_key string, input_idx long",
+        )
+        self.ignored_pairs = (
+            self.spark.createDataFrame(ignore_rows, "member_id long, graph string")
+            if ignore_rows
+            else None
+        )
+
+        # Tag each triple with whether its graph is a member's named graph
+        # (bulk isolation rule, lib/CBDShapeExtractor.ts:79-99). At scale this
+        # is a broadcast semi-join against the member list, computed once.
+        t = triples
+        if bulk:
+            member_graphs = self.members_df.filter(
+                F.col("entity_kind") == IRI
+            ).select(F.col("entity").alias("graph")).distinct()
+            t = t.join(
+                F.broadcast(member_graphs.withColumn("graph_is_member", F.lit(True))),
+                "graph",
+                "left",
+            ).withColumn(
+                "graph_is_member", F.coalesce(F.col("graph_is_member"), F.lit(False))
+            )
+        else:
+            t = t.withColumn("graph_is_member", F.lit(False))
+        self.triples = t.localCheckpoint()
+
+        # Engine state.
+        self.result_parts: List[DataFrame] = []
+        self.trie_parts: List[DataFrame] = [
+            self.members_df.select("member_id", F.lit(ROOT_WORD).alias("word"))
+        ]
+        self.visited_cbd = self.spark.createDataFrame(
+            [], "member_id long, node string, node_kind tinyint"
+        )
+        self.processed_parts: List[DataFrame] = []  # for deref flagging
+
+    # --------------------------------------------------------------- helpers
+
+    def _graph_filter(self, df: DataFrame) -> DataFrame:
+        """GraphFilter.has (lib/Path.ts:66, lib/CBDShapeExtractor.ts:95-99,
+        491-494): explicit ignore list + (bulk) other members' graphs."""
+        if self.ignored_pairs is not None:
+            df = df.join(
+                F.broadcast(self.ignored_pairs), ["member_id", "graph"], "left_anti"
+            )
+        if self.bulk:
+            df = df.filter(
+                ~(
+                    F.col("graph_is_member")
+                    & F.coalesce(F.col("graph") != F.col("entity"), F.lit(False))
+                )
+            )
+        return df
+
+    def _trie_df(self) -> DataFrame:
+        out = self.trie_parts[0]
+        for p in self.trie_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _words_agg(self) -> DataFrame:
+        return self._trie_df().groupBy("member_id").agg(
+            F.collect_set("word").alias("_words")
+        )
+
+    def _checkpoint_trie(self) -> None:
+        self.trie_parts = [self._trie_df().distinct().localCheckpoint()]
+
+    @staticmethod
+    def _empty(df: DataFrame) -> bool:
+        return df.isEmpty()
+
+    # ------------------------------------------------------------------ CBD
+
+    def _cbd(self, work: DataFrame) -> None:
+        """CBD star + blank-node closure (lib/CBDShapeExtractor.ts:472-508).
+
+        Emits quads into result_parts and words into trie_parts; maintains
+        the global per-member blank-visited set."""
+        frontier = work.select(
+            "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
+        )
+        self.visited_cbd = (
+            self.visited_cbd.unionByName(
+                frontier.select("member_id", "node", "node_kind")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        t = self.triples
+        while True:
+            f = frontier.alias("f")
+            tt = t.alias("t")
+            cond = (F.col("f.node") == F.col("t.subject")) & (
+                F.col("f.node_kind") == F.col("t.subject_kind")
+            )
+            joined = f.join(tt, cond, "inner")
+            if self.ex.cbd_default_graph:
+                # cbdDefaultGraph: star step restricted to the default graph
+                # (lib/CBDShapeExtractor.ts:479).
+                joined = joined.filter(F.col("t.graph").isNull())
+            joined = self._graph_filter(
+                joined.select(
+                    "f.member_id", "f.entity", "f.entity_kind", "f.pos",
+                    *[f"t.{c}" for c in QUAD_COLS],
+                    "t.graph_is_member",
+                )
+            ).drop("graph_is_member")
+            new_word = _sql_extend_word(F.col("pos"), "+", F.col("predicate"))
+            joined = joined.withColumn("_new_pos", new_word).localCheckpoint()
+            if self._empty(joined):
+                return
+            self.result_parts.append(joined.select("member_id", *QUAD_COLS))
+            self.trie_parts.append(
+                joined.select("member_id", F.col("_new_pos").alias("word")).distinct()
+            )
+            nxt = (
+                joined.filter(F.col("object_kind") == BLANK)
+                .select(
+                    "member_id", "entity", "entity_kind",
+                    F.col("object_value").alias("node"),
+                    F.col("object_kind").alias("node_kind"),
+                    F.col("_new_pos").alias("pos"),
+                )
+                .join(
+                    self.visited_cbd,
+                    ["member_id", "node", "node_kind"],
+                    "left_anti",
+                )
+                # One CBD visit per (member, node); deterministic pos choice.
+                .groupBy("member_id", "node", "node_kind")
+                .agg(
+                    F.min("pos").alias("pos"),
+                    F.first("entity").alias("entity"),
+                    F.first("entity_kind").alias("entity_kind"),
+                )
+            ).localCheckpoint()
+            if self._empty(nxt):
+                return
+            self.visited_cbd = (
+                self.visited_cbd.unionByName(
+                    nxt.select("member_id", "node", "node_kind")
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            frontier = nxt.select(
+                "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
+            )
+
+    # --------------------------------------------------------- path matching
+
+    def _match(self, path: Path, focus: DataFrame, inverse: bool = False) -> DataFrame:
+        """Compile one Path into a DataFrame plan. ``focus`` must carry the
+        frontier columns + ``path_quads``; returns rows with the same layout
+        whose node columns are the new targets (lib/Path.ts match methods).
+        Words are appended to trie_parts as a side effect — the reference's
+        match also mutates the trie (lib/Path.ts:69)."""
+        if isinstance(path, PredicatePath):
+            return self._match_predicate(path, focus, inverse)
+        if isinstance(path, SequencePath):
+            cur = focus
+            for step in path.sequence:
+                cur = self._match(step, cur, inverse)
+            return cur
+        if isinstance(path, AlternativePath):
+            outs = [self._match(b, focus, inverse) for b in path.alternatives]
+            res = outs[0]
+            for o in outs[1:]:
+                res = res.unionByName(o)
+            return res
+        if isinstance(path, InversePath):
+            return self._match(path.path, focus, not inverse)
+        if isinstance(path, MultiPath):
+            return self._match_multi(path, focus, inverse)
+        raise TypeError(f"unknown path type {type(path)}")
+
+    def _match_predicate(self, path: PredicatePath, focus: DataFrame,
+                         inverse: bool) -> DataFrame:
+        f = focus.alias("f")
+        tt = self.triples.alias("t")
+        pred = F.col("t.predicate") == F.lit(path.predicate)
+        if not inverse:
+            cond = (
+                (F.col("f.node") == F.col("t.subject"))
+                & (F.col("f.node_kind") == F.col("t.subject_kind"))
+                & pred
+            )
+            tgt_value, tgt_kind = F.col("t.object_value"), F.col("t.object_kind")
+            tgt_lang, tgt_dt = F.col("t.object_lang"), F.col("t.object_datatype")
+        else:
+            cond = (
+                (F.col("f.node") == F.col("t.object_value"))
+                & (F.col("f.node_kind") == F.col("t.object_kind"))
+                & F.col("f.node_lang").eqNullSafe(F.col("t.object_lang"))
+                & F.col("f.node_datatype").eqNullSafe(F.col("t.object_datatype"))
+                & pred
+            )
+            tgt_value, tgt_kind = F.col("t.subject"), F.col("t.subject_kind")
+            tgt_lang, tgt_dt = F.lit(None).cast("string"), F.lit(None).cast("string")
+
+        pass_cols = [c for c in focus.columns if c not in _NODE_COLS]
+        joined = f.join(tt, cond, "inner")
+        joined = self._graph_filter(
+            joined.select(
+                *[F.col(f"f.{c}").alias(c) for c in pass_cols],
+                F.col("f.pos").alias("_old_pos"),
+                F.col("f.path_quads").alias("_old_quads"),
+                tgt_value.alias("node"),
+                tgt_kind.alias("node_kind"),
+                tgt_lang.alias("node_lang"),
+                tgt_dt.alias("node_datatype"),
+                *[F.col(f"t.{c}").alias(f"_q_{c}") for c in QUAD_COLS],
+                F.col("t.graph_is_member"),
+            ).withColumn("graph", F.col("_q_graph"))
+        ).drop("graph", "graph_is_member")
+        sign = "-" if inverse else "+"
+        joined = joined.withColumn(
+            "pos", _sql_extend_word(F.col("_old_pos"), sign, F.col("_q_predicate"))
+        )
+        self.trie_parts.append(
+            joined.select("member_id", F.col("pos").alias("word")).distinct()
+        )
+        quad_struct = F.struct(
+            *[F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
+        )
+        out = joined.withColumn(
+            "path_quads", F.concat(F.col("_old_quads"), F.array(quad_struct))
+        ).select(*pass_cols, *_NODE_COLS)
+        return out
+
+    def _match_multi(self, path: MultiPath, focus: DataFrame,
+                     inverse: bool) -> DataFrame:
+        """MultiPath BFS with per-focus-instance visited set
+        (lib/Path.ts:227-287)."""
+        root = focus.withColumn(
+            "_mroot",
+            F.xxhash64(
+                "member_id", "node", "node_kind",
+                F.coalesce("node_lang", F.lit("")),
+                F.coalesce("node_datatype", F.lit("")),
+                "pos",
+            ),
+        ).localCheckpoint()
+        visited = root.select(
+            "member_id", "_mroot", "node", "node_kind", "node_lang", "node_datatype"
+        ).distinct()
+        targets = root
+        out_parts: List[DataFrame] = []
+        i = 0
+        while True:
+            if self._empty(targets):
+                break
+            if path.admits(i):
+                out_parts.append(targets)
+            if path.max_count is not None and i >= path.max_count:
+                break
+            expanded = self._match(path.path, targets, inverse).localCheckpoint()
+            hit_cols = ["member_id", "_mroot", "node", "node_kind",
+                        "node_lang", "node_datatype"]
+            vis = visited.select(
+                *[F.col(c).alias(f"_v_{c}") for c in hit_cols]
+            ).withColumn("_seen", F.lit(True))
+            tagged = expanded.join(
+                vis,
+                on=(
+                    (F.col("member_id") == F.col("_v_member_id"))
+                    & (F.col("_mroot") == F.col("_v__mroot"))
+                    & (F.col("node") == F.col("_v_node"))
+                    & (F.col("node_kind") == F.col("_v_node_kind"))
+                    & F.col("node_lang").eqNullSafe(F.col("_v_node_lang"))
+                    & F.col("node_datatype").eqNullSafe(F.col("_v_node_datatype"))
+                ),
+                how="left",
+            ).drop(*[f"_v_{c}" for c in hit_cols])
+            seen = tagged.filter(F.col("_seen").isNotNull()).drop("_seen")
+            fresh = tagged.filter(F.col("_seen").isNull()).drop("_seen")
+            # Re-reached targets are admitted (at i+1) but not re-expanded
+            # (lib/Path.ts:270-277).
+            if path.admits(i + 1):
+                out_parts.append(seen)
+            # The reference adds each fresh target to visited as it appears:
+            # the first duplicate within a wave expands, the rest are treated
+            # as re-reached (admitted at i+1, not expanded).
+            fresh = fresh.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(
+                        "member_id", "_mroot", "node", "node_kind",
+                        "node_lang", "node_datatype"
+                    ).orderBy(F.col("pos"), F.xxhash64(F.to_json("path_quads")))
+                ),
+            ).localCheckpoint()
+            dupes = fresh.filter(F.col("_rn") > 1).drop("_rn")
+            fresh = fresh.filter(F.col("_rn") == 1).drop("_rn")
+            if path.admits(i + 1):
+                out_parts.append(dupes)
+            visited = visited.unionByName(
+                fresh.select(*hit_cols)
+            ).distinct().localCheckpoint()
+            targets = fresh
+            i += 1
+        if not out_parts:
+            return root.drop("_mroot").limit(0)
+        res = out_parts[0]
+        for p in out_parts[1:]:
+            res = res.unionByName(p)
+        return res.drop("_mroot")
+
+    # ------------------------------------------------------------ found gate
+
+    def _gate_found(self, work: DataFrame, paths: List[Path]) -> DataFrame:
+        """Add a ``_gates`` array<boolean> column: per path, True when the
+        path was already witnessed (lib/CBDShapeExtractor.ts:408)."""
+        words = self._words_agg()
+        w = work.join(words, "member_id", "left")
+        paths_local = list(paths)
+
+        @F.pandas_udf("array<boolean>")
+        def gates(pos: pd.Series, word_lists: pd.Series) -> pd.Series:
+            out = []
+            for p, wl in zip(pos, word_lists):
+                ws = frozenset(wl) if wl is not None else frozenset()
+                out.append([pt.found(ws, p) is not None for pt in paths_local])
+            return pd.Series(out)
+
+        return w.withColumn("_gates", gates(F.col("pos"), F.col("_words"))).drop(
+            "_words"
+        )
+
+    # ---------------------------------------------------------- shape rounds
+
+    def execute(self) -> Tuple[DataFrame, DataFrame]:
+        empty_quads = F.array().cast(f"array<{QUAD_STRUCT_DDL}>")
+        work = self.members_df.select(
+            "member_id", "entity", "entity_kind",
+            F.col("entity").alias("node"),
+            F.col("entity_kind").alias("node_kind"),
+            F.lit(None).cast("string").alias("node_lang"),
+            F.lit(None).cast("string").alias("node_datatype"),
+            F.lit(ROOT_WORD).alias("pos"),
+            F.lit("").alias("ord"),
+            F.col("shape_key"),
+        ).localCheckpoint()
+        visited_shape = work.filter(F.col("node_kind") != LITERAL).select(
+            "member_id", "node", "node_kind"
+        ).localCheckpoint()
+
+        rounds = 0
+        while not self._empty(work) and rounds < self.ex.max_rounds:
+            rounds += 1
+            shape_keys = [
+                r.shape_key
+                for r in work.select("shape_key").distinct().collect()
+            ]
+            new_work_parts: List[DataFrame] = []
+            for sk in shape_keys:
+                sub = work.filter(
+                    F.col("shape_key").eqNullSafe(F.lit(sk).cast("string"))
+                ).localCheckpoint()
+                shape = self._resolve_shape(sk)
+                new_work_parts.extend(self._process_shape(sub, shape, sk))
+            self._checkpoint_trie()
+            if not new_work_parts:
+                break
+            nw = new_work_parts[0]
+            for p in new_work_parts[1:]:
+                nw = nw.unionByName(p)
+            # maybeExtractRecursively memo: one shape extraction per
+            # (member, node); literals are never memoized (RDFMap ignores
+            # them, lib/Shape.ts:119-127).
+            nw = nw.dropDuplicates()
+            non_lit = nw.filter(F.col("node_kind") != LITERAL).join(
+                visited_shape, ["member_id", "node", "node_kind"], "left_anti"
+            )
+            claim = (
+                non_lit.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("member_id", "node", "node_kind").orderBy(
+                            F.col("ord")
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            lit_work = nw.filter(F.col("node_kind") == LITERAL)
+            work = claim.unionByName(lit_work).localCheckpoint()
+            visited_shape = visited_shape.unionByName(
+                claim.select("member_id", "node", "node_kind")
+            ).distinct().localCheckpoint()
+
+        # Named-graph member pickup (lib/CBDShapeExtractor.ts:317-324) —
+        # graph filters do NOT apply here.
+        m = self.members_df.alias("m")
+        tt = self.triples.alias("t")
+        pickup = m.join(
+            tt,
+            (F.col("m.entity") == F.col("t.graph"))
+            & (F.col("m.entity_kind") == F.col("t.graph_kind")),
+            "inner",
+        ).select("m.member_id", *[f"t.{c}" for c in QUAD_COLS])
+        self.result_parts.append(pickup)
+
+        results = self.result_parts[0] if self.result_parts else pickup.limit(0)
+        for p in self.result_parts[1:]:
+            results = results.unionByName(p)
+        results = (
+            results.dropDuplicates(["member_id", *QUAD_COLS])
+            .join(F.broadcast(self.members_df), "member_id")
+            .localCheckpoint()
+        )
+
+        flags = self._compute_flags(results)
+        return results, flags
+
+    def _resolve_shape(self, shape_key: Optional[str]) -> Optional[ShapeTemplate]:
+        if shape_key is None or self.shapes is None:
+            return None
+        kind, _, value = shape_key.partition(":")
+        return self.shapes.shapes.get((int(kind), value))
+
+    def _process_shape(
+        self, work: DataFrame, shape: Optional[ShapeTemplate], shape_key: Optional[str]
+    ) -> List[DataFrame]:
+        """One extractRecursively pass for all members at this shape
+        (lib/CBDShapeExtractor.ts:374-462). Returns new-work parts."""
+        if shape is not None:
+            self.processed_parts.append(
+                work.select("member_id", "node", "node_kind", "pos").withColumn(
+                    "shape_key", F.lit(shape_key)
+                )
+            )
+        if shape is None or not shape.closed:
+            self._cbd(work)
+        if shape is None:
+            return []
+
+        empty_quads = F.array().cast(f"array<{QUAD_STRUCT_DDL}>")
+        focus_base = work.withColumn("path_quads", empty_quads)
+
+        match_paths = shape.match_paths()
+        # Per-path match results for nodeLink reuse
+        # (lib/CBDShapeExtractor.ts:399,419-428).
+        matched_targets: Dict[int, DataFrame] = {}
+        gated_out_rows: Dict[int, DataFrame] = {}
+        for idx, path in enumerate(match_paths):
+            if shape.closed:
+                rows = focus_base
+                skipped = focus_base.limit(0)
+            else:
+                gated = self._gate_found(focus_base, [path])
+                gated = gated.withColumn("_skip", F.element_at("_gates", 1)).drop(
+                    "_gates"
+                ).localCheckpoint()
+                rows = gated.filter(~F.col("_skip")).drop("_skip")
+                skipped = gated.filter(F.col("_skip")).drop("_skip")
+            targets = self._match(path, rows).localCheckpoint()
+            matched_targets[id(path)] = targets
+            gated_out_rows[id(path)] = skipped
+            # Only the paths loop emits witness quads
+            # (lib/CBDShapeExtractor.ts:409-416).
+            quads = targets.select(
+                "member_id", F.explode("path_quads").alias("_q")
+            ).select("member_id", *[F.col(f"_q.{c}").alias(c) for c in QUAD_COLS])
+            self.result_parts.append(quads)
+
+        new_work: List[DataFrame] = []
+        for li, nl in enumerate(shape.all_node_links()):
+            pid = id(nl.path_pattern)
+            parts = []
+            if pid in matched_targets:
+                parts.append(matched_targets[pid])
+                fallback_rows = gated_out_rows[pid]
+            else:
+                fallback_rows = focus_base
+            if not self._empty(fallback_rows):
+                # nodeLink fallback match: trie pushes happen, but matched
+                # quads are NOT added to the result
+                # (lib/CBDShapeExtractor.ts:421-428 uses only match.target).
+                parts.append(self._match(nl.path_pattern, fallback_rows))
+            if not parts:
+                continue
+            tgt = parts[0]
+            for p in parts[1:]:
+                tgt = tgt.unionByName(p)
+            child_key = _shape_key(nl.link)
+            new_work.append(
+                tgt.select(
+                    "member_id", "entity", "entity_kind",
+                    "node", "node_kind", "node_lang", "node_datatype", "pos",
+                    F.concat(F.col("ord"), F.lit("."),
+                             F.lit(f"{li:04x}")).alias("ord"),
+                    F.lit(child_key).alias("shape_key"),
+                ).dropDuplicates()
+            )
+        return new_work
+
+    # ----------------------------------------------------------- deref flags
+
+    def _compute_flags(self, results: DataFrame) -> DataFrame:
+        """needs_dereference flags: required paths unsatisfied on a NamedNode
+        (lib/CBDShapeExtractor.ts:443-459) or an entirely empty result
+        (lib/CBDShapeExtractor.ts:326-338)."""
+        schema = "member_id long, node string, shape_key string, missing string"
+        parts: List[DataFrame] = []
+        if self.processed_parts:
+            proc = self.processed_parts[0]
+            for p in self.processed_parts[1:]:
+                proc = proc.unionByName(p)
+            proc = proc.filter(F.col("node_kind") == IRI).dropDuplicates()
+            words = self._words_agg()
+            shapes_by_key = {
+                sk: self._resolve_shape(sk)
+                for sk in [
+                    r.shape_key for r in proc.select("shape_key").distinct().collect()
+                ]
+            }
+            shapes_local = {k: v for k, v in shapes_by_key.items() if v is not None}
+
+            @F.pandas_udf("string")
+            def missing_expr(pos: pd.Series, word_lists: pd.Series,
+                             shape_keys: pd.Series) -> pd.Series:
+                out = []
+                for p, wl, sk in zip(pos, word_lists, shape_keys):
+                    shape = shapes_local.get(sk)
+                    if shape is None:
+                        out.append(None)
+                        continue
+                    ws = frozenset(wl) if wl is not None else frozenset()
+                    err = shape.required_are_not_present(ws, p)
+                    out.append(err.to_string() if err is not None else None)
+                return pd.Series(out, dtype=object)
+
+            flagged = (
+                proc.join(words, "member_id", "left")
+                .withColumn(
+                    "missing",
+                    missing_expr(F.col("pos"), F.col("_words"), F.col("shape_key")),
+                )
+                .filter(F.col("missing").isNotNull())
+                .select("member_id", "node", "shape_key", "missing")
+            )
+            parts.append(flagged)
+
+        # Empty-result members: flag the entity itself (NamedNode only).
+        empty_members = (
+            self.members_df.join(
+                results.select("member_id").distinct(), "member_id", "left_anti"
+            )
+            .filter(F.col("entity_kind") == IRI)
+            .select(
+                "member_id",
+                F.col("entity").alias("node"),
+                F.col("shape_key"),
+                F.lit("empty result").alias("missing"),
+            )
+        )
+        parts.append(empty_members)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.dropDuplicates().localCheckpoint()

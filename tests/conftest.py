@@ -17,12 +17,16 @@ REFERENCE_TESTS = "/root/reference/tests"
 def spark():
     from pyspark.sql import SparkSession
 
+    # Tiny-fixture tuning: 1 shuffle partition, no codegen/AQE — per-stage
+    # compile overhead dominates at this scale. bench.py flips these for
+    # real data volumes.
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("extract-cbd-shape-spark-tests")
-        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.shuffle.partitions", "1")
         .config("spark.default.parallelism", "4")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.codegen.wholeStage", "false")
+        .config("spark.sql.adaptive.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .getOrCreate()
