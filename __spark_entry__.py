@@ -1,38 +1,690 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: shape-guided KG extraction over triples
+                  synthesized from sf0.001 testdata.
+queries()       — one entry per implemented operator family
+                  (SURVEY.md §2 + training-data ops).
+oracle_sql()    — DuckDB mirrors (tables pre-registered as views).
+
+Column names are aliased identically on both sides; hashing-sensitive
+values are md5 hex strings or round(x, 4) doubles.
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from extract_cbd_shape_spark.model import IRI, Term
+from extract_cbd_shape_spark.operators import BulkCBDShapeExtractor
+from extract_cbd_shape_spark.operators.closure import (
+    connected_components,
+    transitive_closure,
+)
+from extract_cbd_shape_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dups,
+    ngram_jaccard_dups,
+    simhash,
+)
+from extract_cbd_shape_spark.operators.kgtriples import (
+    ORACLE_TRIPLES_CTE,
+    tpch_triples,
+)
+from extract_cbd_shape_spark.operators.linking import link_mentions
+from extract_cbd_shape_spark.operators.similarity import (
+    cosine_topk,
+    sign_lsh_buckets,
+)
+from extract_cbd_shape_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_id_column,
+    quality_columns,
+    shingles,
+    tokens,
+)
+from extract_cbd_shape_spark.rdf import parse_trig
+from extract_cbd_shape_spark.shapes import ShapesGraph
+from extract_cbd_shape_spark.sources.pages import (
+    extract_page_text,
+    extract_page_triples,
+    synth_pages,
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+ORDER_SHAPE_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/kg/> .
+ex:OrderShape a sh:NodeShape ;
+  sh:property [ sh:path <kg:hasCustomer> ; sh:minCount 1 ;
+                sh:node ex:CustomerShape ] .
+ex:CustomerShape a sh:NodeShape ;
+  sh:property [ sh:path <kg:inNation> ; sh:minCount 1 ;
+                sh:node ex:NationShape ] .
+ex:NationShape a sh:NodeShape ;
+  sh:property [ sh:path <kg:name> ; sh:minCount 1 ] .
+"""
+
+ORDER_SHAPE = "http://example.org/kg/OrderShape"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _order_seeds(spark, sf_dir, modulo=100):
+    keys = [
+        r.o_orderkey
+        for r in _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % modulo == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    return [Term(IRI, f"o:{k}") for k in sorted(keys)]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: bulk shape-guided extraction (CBD + blank closure +
+    nodeLink recursion) over triples synthesized from sf0.001."""
+    sf_dir = DEFAULT_SF_DIR
+    triples = tpch_triples(spark, sf_dir)
+    shapes = ShapesGraph.from_quads(parse_trig(ORDER_SHAPE_TTL))
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    seeds = _order_seeds(spark, sf_dir, modulo=500)
+    results, _ = ex.extract(triples, seeds, shape=Term(IRI, ORDER_SHAPE))
+    return results.select(
+        "entity", "subject", "predicate", "object_value"
+    ).orderBy("entity", "subject", "predicate", "object_value")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_cbd_blank_closure(spark, sf_dir):
+    triples = tpch_triples(spark, sf_dir)
+    ex = BulkCBDShapeExtractor(spark)
+    results, _ = ex.extract(triples, _order_seeds(spark, sf_dir))
+    return results.select(
+        "entity", "subject", "predicate", "object_value"
+    )
+
+
+def _q_shape_extract_order(spark, sf_dir):
+    triples = tpch_triples(spark, sf_dir)
+    shapes = ShapesGraph.from_quads(parse_trig(ORDER_SHAPE_TTL))
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    results, _ = ex.extract(
+        triples, _order_seeds(spark, sf_dir), shape=Term(IRI, ORDER_SHAPE)
+    )
+    return results.select("entity", "subject", "predicate", "object_value")
+
+
+def _q_path_closure(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        orders.withColumn("dst", F.lead("o_orderkey").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("o_orderkey").alias("src"), "dst")
+    )
+    seeds = orders.groupBy("o_custkey").agg(F.min("o_orderkey").alias("node")).select(
+        "node"
+    )
+    return transitive_closure(edges, seeds).select(
+        F.col("seed").alias("seed"), F.col("node").alias("node")
+    )
+
+
+def _q_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_q3_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(F.col("l_orderkey").alias("orderkey"), "revenue")
+    )
+
+
+def _q_top_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rank",
+        )
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH").alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("timestampdiff(MICROSECOND, _lag_ts, ts)")
+    return (
+        e.withColumn("_lag_ts", F.lag("ts").over(w))
+        .withColumn("new_session", F.when(gap > 1800 * 1_000_000, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("new_session") + 1).alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def _corpus(spark, sf_dir):
+    """documents + exact copies (+1M ids) + near-dup mutants (+2M ids,
+    first 80% of tokens). Mirrored in SQL for the dedup oracles."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    keep = F.greatest(((F.size(toks) * 4) / 5).cast("int"), F.lit(1))
+    mutant = F.array_join(F.slice(toks, 1, keep), " ")
+    return (
+        d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+        .unionByName(d.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                              mutant.alias("text")))
+    )
+
+
+_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000,
+           array_to_string(t[1:greatest((len(t)*4)//5, 1)], ' ')
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+          FROM documents)
+)
+"""
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return exact_dedup_groups(_corpus(spark, sf_dir)).orderBy("text_hash")
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_dups(_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_dups(_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _q_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+
+
+def _q_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_column(tokens(F.col("text"))).alias("predicted_lang"))
+
+
+def _q_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    cols = quality_columns(F.col("text"), toks)
+    return d.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def _q_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), 5)
+    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
+    return d.select("doc_id", fp.alias("fingerprint")).filter(
+        F.col("fingerprint").isNotNull()
+    )
+
+
+def _q_entity_link(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("mention"))
+        .distinct()
+    )
+    dictionary = (
+        toks.groupBy("mention")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("mention"))
+        .limit(20)
+        .select(
+            F.col("mention").alias("surface_form"),
+            F.concat(F.lit("dict:"), F.col("mention")).alias("entity_id"),
+        )
+    )
+    return link_mentions(toks, dictionary).select("doc_id", "mention", "entity_id")
+
+
+def _q_connected_components(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    star = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") / 50).cast("long") * 50).alias("dst"),
+    )
+    chain1 = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1000000).alias("dst")
+    )
+    chain2 = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("src"),
+        (F.col("doc_id") + 2000000).alias("dst"),
+    )
+    edges = star.unionByName(chain1).unionByName(chain2)
+    return connected_components(edges).orderBy("node")
+
+
+def _q_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return cosine_topk(e, q, k=5)
+
+
+def _q_lsh_buckets(spark, sf_dir):
+    return sign_lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+def _q_pages_triples(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    return extract_page_triples(pages).select(
+        "subject", "predicate", "object_value", F.col("object_kind").cast("int").alias("object_kind")
+    )
+
+
+def _q_pages_text_identity(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    return extract_page_text(pages).select("url", "extracted_text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cbd_blank_closure": _q_cbd_blank_closure,
+        "shape_extract_order": _q_shape_extract_order,
+        "path_closure": _q_path_closure,
+        "q1_pricing": _q_q1_pricing,
+        "q3_revenue": _q_q3_revenue,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "events_hourly": _q_events_hourly,
+        "events_sessions": _q_events_sessions,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_dups": _q_minhash_lsh,
+        "ngram_jaccard_dups": _q_ngram_jaccard,
+        "simhash": _q_simhash,
+        "token_count": _q_token_count,
+        "lang_id": _q_lang_id,
+        "quality_score": _q_quality,
+        "doc_fingerprint": _q_fingerprint,
+        "entity_link": _q_entity_link,
+        "connected_components": _q_connected_components,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_buckets": _q_lsh_buckets,
+        "pages_extract_triples": _q_pages_triples,
+        "pages_text_identity": _q_pages_text_identity,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+_SEEDS_CTE = "seeds AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 100 = 0)"
+
+_CBD_ORACLE = f"""
+WITH {ORACLE_TRIPLES_CTE.strip().rstrip()},
+{_SEEDS_CTE}
+SELECT * FROM (
+  SELECT 'o:'||k AS entity, t.subject, t.predicate, t.object_value
+  FROM seeds JOIN triples t ON t.subject = 'o:'||k
+  UNION
+  SELECT 'o:'||l.l_orderkey, t.subject, t.predicate, t.object_value
+  FROM seeds JOIN lineitem l ON l.l_orderkey = k
+  JOIN triples t ON t.subject = 'l:'||l.l_orderkey||':'||l.l_linenumber
+)
+"""
+
+_SHAPE_ORACLE = f"""
+WITH {ORACLE_TRIPLES_CTE.strip()},
+{_SEEDS_CTE}
+SELECT DISTINCT * FROM (
+  SELECT 'o:'||k AS entity, t.subject, t.predicate, t.object_value
+  FROM seeds JOIN triples t ON t.subject = 'o:'||k
+  UNION
+  SELECT 'o:'||l.l_orderkey, t.subject, t.predicate, t.object_value
+  FROM seeds JOIN lineitem l ON l.l_orderkey = k
+  JOIN triples t ON t.subject = 'l:'||l.l_orderkey||':'||l.l_linenumber
+  UNION
+  SELECT 'o:'||o.o_orderkey, t.subject, t.predicate, t.object_value
+  FROM seeds JOIN orders o ON o.o_orderkey = k
+  JOIN triples t ON t.subject = 'c:'||o.o_custkey
+  UNION
+  SELECT 'o:'||o.o_orderkey, t.subject, t.predicate, t.object_value
+  FROM seeds JOIN orders o ON o.o_orderkey = k
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN triples t ON t.subject = 'n:'||c.c_nationkey
+)
+"""
+
+_LANG_CASE = (
+    "CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' "
+    "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' "
+    "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END"
+)
+
+
+def _lang_scores_sql():
+    out = []
+    for lang, ws in LANG_STOPWORDS.items():
+        arr = ", ".join(f"'{w}'" for w in ws)
+        out.append(
+            f"len(list_filter(t, x -> list_contains([{arr}], x))) AS s_{lang}"
+        )
+    return ", ".join(out)
+
+
+_SIMHASH_VOTES = ", ".join(
+    f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 >= 8 "
+    f"THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(16)
+)
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+)
+
+_SH3 =("CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END")
+_SH5 = ("CASE WHEN len(t) >= 5 THEN list_transform(range(1, len(t)-3), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) "
+        "ELSE [] END")
+
+_MINHASH_CTES = f"""
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
+shd AS (SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, unnest({_SH3}) AS s FROM toks)),
+sig AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS minhash
+        FROM shd CROSS JOIN range(0, 12) r(j) GROUP BY doc_id, j),
+band AS (SELECT doc_id, j - (j % 3) AS band,
+                md5(string_agg(j::VARCHAR || '=' || minhash, ''
+                    ORDER BY j::VARCHAR || '=' || minhash)) AS band_hash
+         FROM sig GROUP BY doc_id, j - (j % 3)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM band a JOIN band b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN shd x ON x.doc_id = c.doc_a
+          JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+          GROUP BY c.doc_a, c.doc_b)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cbd_blank_closure": _CBD_ORACLE,
+        "shape_extract_order": _SHAPE_ORACLE,
+        "path_closure": """
+WITH RECURSIVE edges AS (
+  SELECT o_orderkey AS src,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst
+  FROM orders
+), seeds AS (
+  SELECT min(o_orderkey) AS node FROM orders GROUP BY o_custkey
+), reach AS (
+  SELECT node AS seed, node FROM seeds
+  UNION
+  SELECT r.seed, e.dst FROM reach r JOIN edges e ON e.src = r.node
+  WHERE e.dst IS NOT NULL
+)
+SELECT seed, node FROM reach
+""",
+        "q1_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_revenue": """
+SELECT l.l_orderkey AS orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey
+""",
+        "top_orders_per_customer": """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       round(o_totalprice, 2) AS totalprice, rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+) WHERE rank <= 3
+""",
+        "events_hourly": """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+        "events_sessions": """
+SELECT user_id,
+       sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END) + 1 AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id,
+         date_diff('microsecond', lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+  FROM events
+) GROUP BY user_id
+""",
+        "exact_dedup": f"""
+WITH {_CORPUS_CTE.strip()}
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS representative
+FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash
+""",
+        "minhash_lsh_dups": f"""
+WITH {_CORPUS_CTE.strip()},
+{_MINHASH_CTES.strip()}
+SELECT i.doc_a, i.doc_b,
+       round(i.i * 1.0 / (na.n + nb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.i * 1.0 / (na.n + nb.n - i.i) >= 0.5
+""",
+        "ngram_jaccard_dups": f"""
+WITH {_CORPUS_CTE.strip()},
+toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
+shd AS (SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, unnest({_SH3}) AS s FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT p.doc_a, p.doc_b,
+       round(p.i * 1.0 / (na.n + nb.n - p.i), 4) AS jaccard
+FROM pairs p
+JOIN sizes na ON na.doc_id = p.doc_a
+JOIN sizes nb ON nb.doc_id = p.doc_b
+WHERE p.i * 1.0 / (na.n + nb.n - p.i) >= 0.5
+""",
+        "simhash": f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
+h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM votes
+""",
+        "token_count": f"""
+SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+""",
+        "lang_id": f"""
+WITH s AS (SELECT doc_id, {_lang_scores_sql()}
+           FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents))
+SELECT doc_id, {_LANG_CASE} AS predicted_lang FROM s
+""",
+        "quality_score": f"""
+WITH b AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(t) AS n_tokens,
+       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(len(list_filter(t, x -> list_contains(['the','and','of','to','in'], x))) * 1.0
+             / greatest(len(t), 1), 4) AS stopword_ratio
+FROM b
+""",
+        "doc_fingerprint": f"""
+WITH b AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id, {_SH5} AS s FROM b)
+SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fingerprint
+FROM sh WHERE len(s) > 0
+""",
+        "entity_link": f"""
+WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS mention
+              FROM documents),
+dict AS (SELECT mention AS surface_form, 'dict:' || mention AS entity_id
+         FROM (SELECT mention, count(*) AS df FROM toks GROUP BY mention
+               ORDER BY df DESC, mention LIMIT 20))
+SELECT t.doc_id, t.mention, d.entity_id
+FROM toks t JOIN dict d ON t.mention = d.surface_form
+""",
+        "connected_components": """
+WITH nodes AS (
+  SELECT doc_id AS node FROM documents
+  UNION ALL SELECT (doc_id // 50) * 50
+  FROM documents WHERE NOT EXISTS (
+      SELECT 1 FROM documents d2 WHERE d2.doc_id = (documents.doc_id // 50) * 50)
+  UNION ALL SELECT doc_id + 1000000 FROM documents WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 2000000 FROM documents WHERE doc_id % 7 = 0
+)
+SELECT DISTINCT node,
+       CASE WHEN node >= 2000000 THEN ((node - 2000000) // 50) * 50
+            WHEN node >= 1000000 THEN ((node - 1000000) // 50) * 50
+            ELSE (node // 50) * 50 END AS component
+FROM nodes ORDER BY node
+""",
+        "cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         (SELECT sum(a * b) FROM (
+             SELECT unnest(q.qe)::DOUBLE AS a, unnest(e.embedding)::DOUBLE AS b))
+         / (sqrt((SELECT sum(a * a) FROM (SELECT unnest(q.qe)::DOUBLE AS a)))
+          * sqrt((SELECT sum(b * b) FROM (SELECT unnest(e.embedding)::DOUBLE AS b))))
+         AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""",
+        "lsh_buckets": """
+WITH proj AS (
+  SELECT vec_id, j,
+         sum(x * (((i * 31 + j * 17) % 7) - 3)) AS p
+  FROM (SELECT vec_id,
+               unnest(list_transform(embedding, y -> y::DOUBLE)) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings)
+  CROSS JOIN range(0, 8) r(j)
+  GROUP BY vec_id, j
+)
+SELECT vec_id,
+       sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END)::BIGINT AS bucket
+FROM proj GROUP BY vec_id
+""",
+        "pages_extract_triples": f"""
+WITH b AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS t FROM documents)
+SELECT * FROM (
+  SELECT 'doc:' || doc_id AS subject, 'kg:lang' AS predicate,
+         lang AS object_value, 2 AS object_kind FROM b
+  UNION ALL
+  SELECT 'doc:' || doc_id, 'kg:source', source, 2 FROM b
+  UNION ALL
+  SELECT 'doc:' || doc_id, 'kg:mentions', unnest(t[1:5]), 2 FROM b
+)
+""",
+        "pages_text_identity": """
+SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
+       text AS extracted_text
+FROM documents
+""",
+    }

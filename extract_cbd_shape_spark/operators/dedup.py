@@ -1,0 +1,173 @@
+"""Document deduplication operators for training-data pipelines.
+
+All algorithms are pure DataFrame programs (no Python UDFs) and share a
+portable hashing scheme — md5 hex strings — so DuckDB oracles can mirror
+them bit-for-bit:
+
+* exact dedup: hash-groupBy on md5(text) — one shuffle, map-side combine.
+* MinHash+LSH: shingle -> P minhash signatures (min over md5(j:shingle)
+  strings) -> bands -> bucket self-join for candidates -> exact Jaccard
+  verification. The candidate join is the only O(pairs) step and is
+  bounded by band-bucket sizes, which is the point of LSH at 100 TB.
+* SimHash: per-token md5 nibbles vote on 16 signature bits.
+* n-gram Jaccard: shingle-overlap self-join with a shared-shingle block.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from extract_cbd_shape_spark.functions.text import shingles, tokens
+
+N_PERM = 12
+BAND_SIZE = 3
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("_toks", tokens(F.col(text_col)))
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact-duplicate clusters: (text_hash, n_docs, representative)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("representative"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct (doc, shingle) pairs; docs shorter than k tokens drop out."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    shingles(tokens(F.col(text_col)), k).alias("_sh"))
+        .select("doc_id", F.explode("_sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, j, minhash) — min over md5(j || ':' || shingle) strings.
+    One exploded shuffle with map-side partial min."""
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("j")
+    return (
+        sh.select("doc_id", "shingle", perms)
+        .select(
+            "doc_id", "j",
+            F.md5(F.concat_ws(":", F.col("j"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Band signatures and bucket-join docs sharing any band."""
+    bands = (
+        sigs.withColumn("band", F.col("j") - (F.col("j") % band_size))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("", F.sort_array(
+            F.collect_list(F.concat_ws("=", F.col("j"), F.col("minhash")))
+        ))).alias("band_hash"))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, sh: DataFrame,
+                   threshold: float = 0.7) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs only."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    xa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    xb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(xa, "doc_a")
+        .join(xb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_dups(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", threshold: float = 0.7) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard)."""
+    sh = shingle_sets(docs, id_col, text_col)
+    sigs = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sigs)
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — bit i votes with the high bit of md5 hex
+    nibble i across the doc's distinct tokens."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t"))
+        .select("doc_id", F.explode("_t").alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.conv(F.substring("h", i + 1, 1), 16, 10).cast("int") >= 8, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def ngram_jaccard_dups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard; blocking = shared shingle.
+    At scale, prefer minhash_lsh_dups — this is the exact baseline."""
+    sh = shingle_sets(docs, id_col, text_col)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )

@@ -189,6 +189,27 @@ class BulkCBDShapeExtractor:
             triples = triples.unionByName(extra_df).localCheckpoint()
         return results, flags
 
+    def match_path(
+        self,
+        triples: DataFrame,
+        path: Path,
+        focus: Sequence[Term],
+    ) -> DataFrame:
+        """Match one SHACL path from the given focus nodes (lib/Path.ts
+        match API). Returns target rows (member_id, node, node_kind,
+        node_lang, node_datatype, pos, path_quads)."""
+        run = _Run(self, triples, [Member(t) for t in focus], bulk=False)
+        empty_quads = F.array().cast(f"array<{QUAD_STRUCT_DDL}>")
+        focus_df = run.members_df.select(
+            "member_id", "entity", "entity_kind",
+            F.col("entity").alias("node"),
+            F.col("entity_kind").alias("node_kind"),
+            F.lit(None).cast("string").alias("node_lang"),
+            F.lit(None).cast("string").alias("node_datatype"),
+            F.lit(ROOT_WORD).alias("pos"),
+        ).withColumn("path_quads", empty_quads)
+        return run._match(path, focus_df)
+
 
 class _Run:
     """One bulk extraction pass over a fixed store."""
@@ -447,9 +468,12 @@ class _Run:
     def _match_multi(self, path: MultiPath, focus: DataFrame,
                      inverse: bool) -> DataFrame:
         """MultiPath BFS with per-focus-instance visited set
-        (lib/Path.ts:227-287)."""
+        (lib/Path.ts:227-287). The match-root column gets a unique name
+        so nested MultiPaths don't clobber each other's bookkeeping."""
+        self._mroot_counter = getattr(self, "_mroot_counter", 0) + 1
+        mroot = f"_mroot_{self._mroot_counter}"
         root = focus.withColumn(
-            "_mroot",
+            mroot,
             F.xxhash64(
                 "member_id", "node", "node_kind",
                 F.coalesce("node_lang", F.lit("")),
@@ -458,7 +482,7 @@ class _Run:
             ),
         ).localCheckpoint()
         visited = root.select(
-            "member_id", "_mroot", "node", "node_kind", "node_lang", "node_datatype"
+            "member_id", mroot, "node", "node_kind", "node_lang", "node_datatype"
         ).distinct()
         targets = root
         out_parts: List[DataFrame] = []
@@ -471,7 +495,7 @@ class _Run:
             if path.max_count is not None and i >= path.max_count:
                 break
             expanded = self._match(path.path, targets, inverse).localCheckpoint()
-            hit_cols = ["member_id", "_mroot", "node", "node_kind",
+            hit_cols = ["member_id", mroot, "node", "node_kind",
                         "node_lang", "node_datatype"]
             vis = visited.select(
                 *[F.col(c).alias(f"_v_{c}") for c in hit_cols]
@@ -480,7 +504,7 @@ class _Run:
                 vis,
                 on=(
                     (F.col("member_id") == F.col("_v_member_id"))
-                    & (F.col("_mroot") == F.col("_v__mroot"))
+                    & (F.col(mroot) == F.col(f"_v_{mroot}"))
                     & (F.col("node") == F.col("_v_node"))
                     & (F.col("node_kind") == F.col("_v_node_kind"))
                     & F.col("node_lang").eqNullSafe(F.col("_v_node_lang"))
@@ -501,7 +525,7 @@ class _Run:
                 "_rn",
                 F.row_number().over(
                     Window.partitionBy(
-                        "member_id", "_mroot", "node", "node_kind",
+                        "member_id", mroot, "node", "node_kind",
                         "node_lang", "node_datatype"
                     ).orderBy(F.col("pos"), F.xxhash64(F.to_json("path_quads")))
                 ),
@@ -516,11 +540,11 @@ class _Run:
             targets = fresh
             i += 1
         if not out_parts:
-            return root.drop("_mroot").limit(0)
+            return root.drop(mroot).limit(0)
         res = out_parts[0]
         for p in out_parts[1:]:
             res = res.unionByName(p)
-        return res.drop("_mroot")
+        return res.drop(mroot)
 
     # ------------------------------------------------------------ found gate
 

@@ -1,0 +1,92 @@
+"""Deterministic triple-ization of the TPC-H-ish testdata tables.
+
+Turns orders/lineitem/customer/nation into a quad DataFrame with blank
+line-item nodes, so the extraction engine can be exercised (and DuckDB-
+oracled) on relational testdata: order entities have a CBD that spans
+blank nodes, customer/nation reachable through nodeLink-style hops.
+
+The same construction exists as a SQL CTE (ORACLE_TRIPLES_CTE) used by
+__spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from extract_cbd_shape_spark.model import BLANK, IRI, LITERAL, XSD_INTEGER, XSD_STRING
+
+
+def _quad(sub, sk, pred, ov, ok, dt=None):
+    return [
+        sub.alias("subject"),
+        F.lit(sk).cast("tinyint").alias("subject_kind"),
+        F.lit(pred).alias("predicate"),
+        ov.alias("object_value"),
+        F.lit(ok).cast("tinyint").alias("object_kind"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit(dt).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(None).cast("tinyint").alias("graph_kind"),
+    ]
+
+
+def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    o = F.concat(F.lit("o:"), F.col("o_orderkey"))
+    c_of_o = F.concat(F.lit("c:"), F.col("o_custkey"))
+    line = F.concat(F.lit("l:"), F.col("l_orderkey"), F.lit(":"), F.col("l_linenumber"))
+    o_of_l = F.concat(F.lit("o:"), F.col("l_orderkey"))
+    p_of_l = F.concat(F.lit("p:"), F.col("l_partkey"))
+    c = F.concat(F.lit("c:"), F.col("c_custkey"))
+    n_of_c = F.concat(F.lit("n:"), F.col("c_nationkey"))
+    n = F.concat(F.lit("n:"), F.col("n_nationkey"))
+
+    parts = [
+        orders.select(*_quad(o, IRI, "kg:hasCustomer", c_of_o, IRI)),
+        orders.select(*_quad(o, IRI, "kg:orderDate",
+                             F.col("o_orderdate").cast("string"), LITERAL, XSD_STRING)),
+        lineitem.select(*_quad(o_of_l, IRI, "kg:hasLine", line, BLANK)),
+        lineitem.select(*_quad(line, BLANK, "kg:hasPart", p_of_l, IRI)),
+        lineitem.select(*_quad(line, BLANK, "kg:quantity",
+                               F.col("l_quantity").cast("long").cast("string"),
+                               LITERAL, XSD_INTEGER)),
+        customer.select(*_quad(c, IRI, "kg:inNation", n_of_c, IRI)),
+        customer.select(*_quad(c, IRI, "kg:name", F.col("c_name"), LITERAL, XSD_STRING)),
+        nation.select(*_quad(n, IRI, "kg:name", F.col("n_name"), LITERAL, XSD_STRING)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# DuckDB mirror — one CTE named `triples` with the same rows
+# (columns: subject, predicate, object_value, object_kind).
+ORACLE_TRIPLES_CTE = """
+triples AS (
+    SELECT 'o:'||o_orderkey AS subject, 'kg:hasCustomer' AS predicate,
+           'c:'||o_custkey AS object_value, 0 AS object_kind FROM orders
+    UNION ALL
+    SELECT 'o:'||o_orderkey, 'kg:orderDate', o_orderdate::VARCHAR, 2 FROM orders
+    UNION ALL
+    SELECT 'o:'||l_orderkey, 'kg:hasLine', 'l:'||l_orderkey||':'||l_linenumber, 1
+    FROM lineitem
+    UNION ALL
+    SELECT 'l:'||l_orderkey||':'||l_linenumber, 'kg:hasPart', 'p:'||l_partkey, 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'l:'||l_orderkey||':'||l_linenumber, 'kg:quantity',
+           (l_quantity::BIGINT)::VARCHAR, 2 FROM lineitem
+    UNION ALL
+    SELECT 'c:'||c_custkey, 'kg:inNation', 'n:'||c_nationkey, 0 FROM customer
+    UNION ALL
+    SELECT 'c:'||c_custkey, 'kg:name', c_name, 2 FROM customer
+    UNION ALL
+    SELECT 'n:'||n_nationkey, 'kg:name', n_name, 2 FROM nation
+)
+"""

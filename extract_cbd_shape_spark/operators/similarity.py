@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exactness baseline: query-set broadcast
+  cross join, JVM-side fold for the dot product (F.aggregate / zip_with,
+  no Python), window top-k.
+* sign-LSH bucketing — the scale path: B deterministic integer
+  hyperplanes; at 100 TB the bucket id becomes the shuffle/partition key
+  so candidate generation is a bucket-local join instead of a cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, score). Excludes self.
+    ``queries`` is broadcast — the data side streams once."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ev")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            _dot(F.col("_qv"), F.col("_ev"))
+            / (_norm(F.col("_qv")) * _norm(F.col("_ev"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+    )
+
+
+def sign_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic sign-LSH: plane j weight for dimension i is
+    ((i*31 + j*17) % 7) - 3. bucket = sum_j sign_bit_j << j.
+    (Mirrors exactly in SQL; swap in learned/random planes via a
+    broadcast plane table in production.)"""
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    bucket = None
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.sequence(F.lit(0), F.size("_v") - 1),
+                lambda x, i: x.cast("double")
+                * (((i * 31 + j * 17) % 7) - 3).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return e.select("vec_id", bucket.alias("bucket"))
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k restricted to same-LSH-bucket candidates (recall<1,
+    bounded work): bucket-equi-join instead of cross join."""
+    b = sign_lsh_buckets(embeddings, n_planes, id_col, vec_col)
+    e = embeddings.join(b, embeddings[id_col] == b.vec_id).drop(b.vec_id)
+    qb = sign_lsh_buckets(queries, n_planes, id_col, vec_col)
+    q = queries.join(qb, queries[id_col] == qb.vec_id).drop(qb.vec_id)
+    qq = q.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+    )
+    ee = e.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_ev"), "bucket"
+    )
+    scored = (
+        ee.join(F.broadcast(qq), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            _dot(F.col("_qv"), F.col("_ev"))
+            / (_norm(F.col("_qv")) * _norm(F.col("_ev"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+    )

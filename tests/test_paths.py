@@ -1,0 +1,69 @@
+"""SHACL path golden tests mirroring tests/05 - paths/extraction.test.ts
+and pathPattern.test.ts."""
+
+import pytest
+
+from extract_cbd_shape_spark.model import IRI, Quad, Term
+from extract_cbd_shape_spark.operators import BulkCBDShapeExtractor
+from extract_cbd_shape_spark.rdf import parse_trig
+from extract_cbd_shape_spark.shapes import (
+    OneOrMorePath,
+    PredicatePath,
+    ShapesGraph,
+    ZeroOrOnePath,
+)
+from extract_cbd_shape_spark.sources import quads_to_df, trig_to_df
+
+from conftest import load_fixture
+
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    shapes = ShapesGraph.from_quads(parse_trig(load_fixture("05 - paths/shape.ttl")))
+    data = trig_to_df(spark, load_fixture("05 - paths/data.ttl")).cache()
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    return ex, data
+
+
+@pytest.mark.parametrize(
+    "entity,shape,expected",
+    [
+        ("B", "SequencePathShape", 3),
+        ("C", "InversePathShape", 1),
+        ("B", "DoubleInversePathShape", 1),
+        ("C", "SequenceAndInversePathShape", 2),
+        ("A", "ZeroOrMorePathShape", 2),
+        ("B", "ZeroOrMorePathShape2", 3),
+        ("A", "OneOrMorePathShape", 2),
+        ("B", "AlternativePathShape", 2),
+        ("B", "AllTogetherPathShape", 2),
+    ],
+)
+def test_path_extraction_counts(env, entity, shape, expected):
+    ex, data = env
+    results, _ = ex.extract(data, [Term(IRI, EX + entity)], shape=Term(IRI, EX + shape))
+    assert results.count() == expected
+
+
+def test_zero_or_one_does_not_expand_beyond(spark):
+    # pathPattern.test.ts:82-99 — targets are exactly [a, b], c excluded.
+    nxt = Term(IRI, EX + "next")
+    a, b, c = (Term(IRI, EX + f"zoo-{x}") for x in "abc")
+    df = quads_to_df(spark, [Quad(a, nxt, b), Quad(b, nxt, c)])
+    ex = BulkCBDShapeExtractor(spark)
+    targets = ex.match_path(df, ZeroOrOnePath(PredicatePath(nxt.value)), [a])
+    got = {r.node for r in targets.collect()}
+    assert got == {a.value, b.value}
+
+
+def test_one_or_more_terminates_on_cycle(spark):
+    # pathPattern.test.ts:101-117 — a->b->a, targets [b, a].
+    nxt = Term(IRI, EX + "next")
+    a, b = (Term(IRI, EX + f"cyc-{x}") for x in "ab")
+    df = quads_to_df(spark, [Quad(a, nxt, b), Quad(b, nxt, a)])
+    ex = BulkCBDShapeExtractor(spark)
+    targets = ex.match_path(df, OneOrMorePath(PredicatePath(nxt.value)), [a])
+    got = {r.node for r in targets.collect()}
+    assert got == {a.value, b.value}

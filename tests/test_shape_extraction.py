@@ -1,0 +1,302 @@
+"""Shape-guided extraction golden tests mirroring the reference's
+tests/01 (shacl-shacl), tests/04 (logical edge cases incl. emulated
+out-of-band dereference), tests/06 (named graphs + bulk), and tests/02
+(marine regions deref chain)."""
+
+import pytest
+
+from extract_cbd_shape_spark.model import IRI, Term
+from extract_cbd_shape_spark.operators import BulkCBDShapeExtractor, Member
+from extract_cbd_shape_spark.rdf import parse_trig
+from extract_cbd_shape_spark.shapes import ShapesGraph
+from extract_cbd_shape_spark.sources import trig_to_df
+
+from conftest import load_fixture
+
+EX = "http://example.org/"
+SHSH = "http://www.w3.org/ns/shacl-shacl#"
+
+NAME_TTL = """
+@prefix ex: <http://example.org/> .
+@prefix foaf: <http://xmlns.com/foaf/0.1/>.
+
+<./name.ttl> ex:name "Pieter" .
+
+<https://test.com/name.ttl#Person1> ex:name "Peterson" .
+"""
+
+
+@pytest.fixture(scope="module")
+def env01(spark):
+    shapes = ShapesGraph.from_quads(
+        parse_trig(load_fixture("01 - fetching a shacl shape/shacl-shacl.ttl"))
+    )
+    data = trig_to_df(
+        spark, load_fixture("01 - fetching a shacl shape/shacl-catalog.ttl")
+    ).cache()
+    return BulkCBDShapeExtractor(spark, shapes_graph=shapes), data
+
+
+def test_shape_catalog_person_11(spark, env01):
+    ex, data = env01
+    results, _ = ex.extract(
+        data, [Term(IRI, EX + "PersonShape")], shape=Term(IRI, SHSH + "NodeShapeShape")
+    )
+    assert results.count() == 11
+
+
+def test_shape_catalog_repeatable(spark, env01):
+    ex, data = env01
+    for _ in range(2):
+        results, _ = ex.extract(
+            data,
+            [Term(IRI, EX + "PersonShape")],
+            shape=Term(IRI, SHSH + "NodeShapeShape"),
+        )
+        assert results.count() == 11
+
+
+def test_shape_catalog_organization_16(spark, env01):
+    ex, data = env01
+    results, _ = ex.extract(
+        data,
+        [Term(IRI, EX + "OrganizationShape")],
+        shape=Term(IRI, SHSH + "NodeShapeShape"),
+    )
+    assert results.count() == 16
+
+
+def test_shacl_shacl_self_273(spark):
+    shapes_ttl = load_fixture("01 - fetching a shacl shape/shacl-shacl.ttl")
+    shapes = ShapesGraph.from_quads(parse_trig(shapes_ttl))
+    data = trig_to_df(spark, shapes_ttl)
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    results, _ = ex.extract(
+        data, [Term(IRI, SHSH + "ShapeShape")], shape=Term(IRI, SHSH + "ShapeShape")
+    )
+    assert results.count() == 273
+
+
+@pytest.fixture(scope="module")
+def env04(spark):
+    shapes = ShapesGraph.from_quads(
+        parse_trig(load_fixture("04 - logical edge cases/shape.ttl"))
+    )
+    data = trig_to_df(spark, load_fixture("04 - logical edge cases/data.ttl")).cache()
+    resolver_quads = parse_trig(NAME_TTL, base="https://test.com/name.ttl")
+    resolver = {
+        "https://test.com/name.ttl": resolver_quads,
+        "https://test.com/name.ttl#Person1": resolver_quads,
+    }
+    return (
+        BulkCBDShapeExtractor(spark, shapes_graph=shapes, resolver=resolver),
+        data,
+    )
+
+
+@pytest.mark.parametrize(
+    "entity,shape,expected",
+    [
+        ("Person1", "Shape", 7),
+        ("Person2", "PersonShape", 7),
+        ("Person3", "KnowsPieterShape", 4),
+        ("Person4", "XoneWithNodeShape", 3),
+        ("Person5", "TriggersHTTPShape", 3),
+        ("Person6", "CircularXoneShape", 7),
+    ],
+)
+def test_logical_edge_cases(env04, entity, shape, expected):
+    ex, data = env04
+    results, _ = ex.extract(data, [Term(IRI, EX + entity)], shape=Term(IRI, EX + shape))
+    assert results.count() == expected
+
+
+def test_deref_flag_without_resolver(spark, env04):
+    _, data = env04
+    shapes = ShapesGraph.from_quads(
+        parse_trig(load_fixture("04 - logical edge cases/shape.ttl"))
+    )
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)  # no resolver
+    results, flags = ex.extract(
+        data, [Term(IRI, EX + "Person3")], shape=Term(IRI, EX + "KnowsPieterShape")
+    )
+    assert results.count() == 3  # CBD of Person3 only
+    flagged = {f.node for f in flags.collect()}
+    assert "https://test.com/name.ttl#Person1" in flagged
+
+
+def test_chained_nodelink_paths(spark):
+    shape_ttl = """
+@prefix sh:  <http://www.w3.org/ns/shacl#> .
+@prefix ex:  <http://example.org/> .
+
+ex:innerShape
+	a sh:NodeShape ;
+	sh:property [
+		sh:path (ex:first ex:second);
+	] .
+
+ex:outerShape
+	a sh:NodeShape ;
+	sh:property [
+		sh:path ex:inner;
+    sh:node ex:innerShape;
+	] .
+"""
+    data_ttl = """
+@prefix ex:  <http://example.org/> .
+
+ex:false ex:second "Don't find me".
+
+ex:true ex:first ex:trueInner.
+ex:trueInner ex:second "Find me".
+
+ex:subject ex:first ex:false;
+  ex:inner ex:true.
+"""
+    shapes = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    data = trig_to_df(spark, data_ttl)
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    results, _ = ex.extract(
+        data, [Term(IRI, EX + "subject")], shape=Term(IRI, EX + "outerShape")
+    )
+    objs = {r.object_value for r in results.collect()}
+    assert "Find me" in objs
+    assert "Don't find me" not in objs
+
+
+# --- tests/06: shapes and named graphs ---
+
+
+def test_bulk_graph_isolation(spark):
+    shapes = ShapesGraph.from_quads(
+        parse_trig(load_fixture("06 - shapes and named graphs/shape.ttl"))
+    )
+    data = trig_to_df(spark, load_fixture("06 - shapes and named graphs/data.ttl"))
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    results, _ = ex.extract(
+        data,
+        [Term(IRI, EX + "M1v1")],
+        shape=Term(IRI, EX + "Shape"),
+        graphs_to_ignore=[Term(IRI, EX + "M1v2")],
+    )
+    assert results.count() == 2
+
+
+def test_nested_blank_shape_and_bulk(spark):
+    shapes = ShapesGraph.from_quads(
+        parse_trig(load_fixture("06 - shapes and named graphs/shape-example.ttl"))
+    )
+    data = trig_to_df(
+        spark, load_fixture("06 - shapes and named graphs/data-example.ttl")
+    )
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    results, _ = ex.extract(
+        data, [Term(IRI, EX + "line")], shape=Term(IRI, EX + "shape")
+    )
+    assert results.count() == 6
+
+    results2, _ = ex.extract(
+        data,
+        [Term(IRI, EX + "line"), Term(IRI, EX + "important_point")],
+        shape=Term(IRI, EX + "shape"),
+        bulk=True,
+    )
+    counts = {
+        r.entity.split("/")[-1]: r["count"]
+        for r in results2.groupBy("entity").count().collect()
+    }
+    assert counts == {"line": 6, "important_point": 2}
+
+
+def test_bulk_named_graph_member_no_deref(spark):
+    # extraction-example.test.ts:80-106 — named-graph member, 1 quad,
+    # no dereference attempted (no flag raised).
+    ttl = """
+@prefix ex: <http://example.org/>.
+ex:named-graph-member {
+  ex:named-graph-member ex:name "member" .
+}
+"""
+    data = trig_to_df(spark, ttl)
+    ex = BulkCBDShapeExtractor(spark)
+    results, flags = ex.extract(
+        data, [Term(IRI, EX + "named-graph-member")], bulk=True
+    )
+    rows = results.collect()
+    assert len(rows) == 1
+    assert rows[0].graph == EX + "named-graph-member"
+    assert flags.count() == 0
+
+
+# --- tests/02: marine regions out-of-band chain ---
+
+
+def test_mrg_out_of_band_chain(spark):
+    member_ttl = load_fixture("02 - marine regions LDES/data.ttl")
+    shapes = ShapesGraph.from_quads(
+        parse_trig(load_fixture("02 - marine regions LDES/shacl.ttl"))
+    )
+    mrg_url = "http://marineregions.org/mrgid/24983"
+    geo_url = (
+        "http://marineregions.org/mrgid/24983/geometries?source=110&attributeValue=2004"
+    )
+    mrg_body = """
+@prefix mr: <http://marineregions.org/ns/ontology#> .
+@prefix mrt: <http://marineregions.org/ns/placetypes#> .
+@prefix dc: <http://purl.org/dc/terms/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+@prefix dcat: <http://www.w3.org/ns/dcat#> .
+@prefix gsp: <http://www.opengis.net/ont/geosparql#> .
+@prefix prov: <http://www.w3.org/ns/prov#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+
+<http://marineregions.org/mrgid/24983>
+  a mr:MRGeoObject, mrt:Escarpment ;
+  mr:hasGeometry <http://marineregions.org/mrgid/24983/geometries?source=110&attributeValue=2004> ;
+  mr:isPartOf <http://marineregions.org/mrgid/4300>, <http://marineregions.org/mrgid/8487> ;
+  dc:modified "2023-07-24T14:14:57Z"^^xsd:dateTime ;
+  skos:altLabel "Minami Amami Escarpment"@en, "Minami Anami Escarpment"@en ;
+  skos:prefLabel "Minami-Amami Escarpment"@en ;
+  dcat:bbox "bbox-wkt"^^gsp:wktLiteral ;
+  dcat:centroid "centroid-wkt"^^gsp:wktLiteral ;
+  prov:hadPrimarySource <http://www.ngdc.noaa.gov/gazetteer/> .
+
+<http://marineregions.org/mrgid/4300>
+  a mr:MRGeoObject, mrt:IHOSeaArea ;
+  skos:prefLabel "Philippine Sea"@en .
+
+<http://marineregions.org/mrgid/8487>
+  a mr:MRGeoObject, mrt:EEZ ;
+  skos:prefLabel "Japanese Exclusive Economic Zone"@en .
+
+<http://www.ngdc.noaa.gov/gazetteer/> rdfs:label "IHO-IOC GEBCO Gazetteer of Undersea Feature Names"^^xsd:string .
+"""
+    geo_body = """
+@prefix mr: <http://marineregions.org/ns/ontology#> .
+@prefix gsp: <http://www.opengis.net/ont/geosparql#> .
+@prefix prov: <http://www.w3.org/ns/prov#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+<http://marineregions.org/mrgid/24983> mr:hasGeometry <http://marineregions.org/mrgid/24983/geometries?source=110&attributeValue=2004> .
+<http://marineregions.org/mrgid/24983/geometries?source=110&attributeValue=2004>
+  gsp:asWKT "linestring-wkt"^^gsp:wktLiteral ;
+  prov:hadPrimarySource <http://www.ngdc.noaa.gov/gazetteer/> .
+
+<http://www.ngdc.noaa.gov/gazetteer/> rdfs:label "IHO-IOC GEBCO Gazetteer of Undersea Feature Names"^^xsd:string .
+"""
+    resolver = {
+        mrg_url: parse_trig(mrg_body, base=mrg_url),
+        geo_url: parse_trig(geo_body, base=geo_url),
+    }
+    data = trig_to_df(spark, member_ttl)
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes, resolver=resolver)
+    results, flags = ex.extract(
+        data,
+        [Term(IRI, "http://marineregions.org/mrgid/24983?t=1690208097")],
+        shape=Term(IRI, EX + "shape"),
+    )
+    geo_subject_quads = results.filter(results.subject == geo_url).count()
+    assert geo_subject_quads == 2
