@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+{"metric": "e2e_headline_seconds", "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <dir>, "triples_per_sec": ...,
+ "parallelism": N}
+
+The flagship measurement is the end-to-end KG construction pipeline
+(pages -> triples -> per-entity extraction -> linking ->
+canonicalization -> materialize); triples_per_sec is computed from its
+materialized triple count. Scaling evidence (N vs 4N cores) lives in
+tools/bench_scaling.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("extract-cbd-shape-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_suite(spark, sf_dir: str) -> dict:
+    """Returns {"queries": {name: sec}, "pipeline_triples": n}."""
+    import __spark_entry__ as entrymod
+    from extract_cbd_shape_spark.plans.pipeline import KGConstructionPipeline
+    from extract_cbd_shape_spark.sources.pages import synth_pages
+
+    q = entrymod.queries()
+    headline = [
+        "shape_extract_order",   # engine: CBD + blank closure + nodeLinks
+        "path_closure",          # iterative transitive closure
+        "minhash_lsh_dups",      # shingle -> minhash -> LSH -> verify
+        "connected_components",  # large-star/small-star canonicalization
+        "cosine_topk",           # similarity search baseline
+        "q1_pricing",            # scan-heavy aggregation
+        "top_orders_per_customer",  # window top-k
+    ]
+    timings = {}
+    for name in headline:
+        t0 = time.time()
+        df = q[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 2)
+
+    # Flagship: end-to-end KG pipeline, fresh warehouse.
+    wh = tempfile.mkdtemp(prefix="kgbench_")
+    try:
+        t0 = time.time()
+        pages = synth_pages(spark, sf_dir)
+        pipe = KGConstructionPipeline(spark, wh)
+        manifests = pipe.run(pages, resume=False)
+        pipeline_sec = round(time.time() - t0, 2)
+        triples = manifests["triples"]["rows"] + manifests["raw_triples"]["rows"]
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+    timings["kg_pipeline_e2e"] = pipeline_sec
+    return {"queries": timings, "pipeline_triples": triples,
+            "pipeline_sec": pipeline_sec}
+
+
+def main():
+    t_all = time.time()
+    spark = build_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run_suite(spark, SF_DIR)
+    total = round(time.time() - t_all, 2)
+    result = {
+        "metric": "e2e_headline_seconds",
+        "value": round(sum(out["queries"].values()), 2),
+        "unit": "sec",
+        "queries": out["queries"],
+        "sf": SF_DIR,
+        "parallelism": CPUS,
+        "triples_per_sec": round(
+            out["pipeline_triples"] / max(out["pipeline_sec"], 1e-9), 1
+        ),
+        "wall_total_sec": total,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

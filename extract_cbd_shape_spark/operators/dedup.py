@@ -115,10 +115,15 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
 
 def minhash_lsh_dups(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", threshold: float = 0.7) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard)."""
-    sh = shingle_sets(docs, id_col, text_col)
+    """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
+
+    The shingle set feeds three consumers (signatures, sizes, the
+    verify join) — persist it once instead of re-exploding the corpus
+    per consumer; at 100 TB this is the difference between one and
+    four passes over the text."""
+    sh = shingle_sets(docs, id_col, text_col).persist()
     sigs = minhash_signatures(sh)
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(sigs).persist()
     return jaccard_verify(pairs, sh, threshold)
 
 
@@ -152,7 +157,7 @@ def ngram_jaccard_dups(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", threshold: float = 0.5) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard; blocking = shared shingle.
     At scale, prefer minhash_lsh_dups — this is the exact baseline."""
-    sh = shingle_sets(docs, id_col, text_col)
+    sh = shingle_sets(docs, id_col, text_col).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (

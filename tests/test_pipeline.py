@@ -1,0 +1,73 @@
+"""End-to-end KG pipeline tests: stage snapshots, resume, lineage,
+page-text invariant."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from extract_cbd_shape_spark.plans.pipeline import KGConstructionPipeline
+from extract_cbd_shape_spark.sinks.materialize import (
+    latest_manifest,
+    materialize_table,
+    read_latest_snapshot,
+)
+from extract_cbd_shape_spark.sources.pages import (
+    extract_page_text,
+    synth_pages,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_page_text_byte_identical(spark):
+    pages = synth_pages(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    extracted = extract_page_text(pages)
+    joined = pages.select("url", "text").join(extracted, "url")
+    n = joined.count()
+    assert n == docs.count()
+    mismatches = joined.filter(F.col("text") != F.col("extracted_text")).count()
+    assert mismatches == 0
+
+
+def test_materialize_snapshots_and_manifest(spark, tmp_path):
+    df = spark.range(100).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subject"),
+        F.lit("p").alias("predicate"),
+    )
+    path = str(tmp_path / "tbl")
+    m1 = materialize_table(df, path, "stage1", n_buckets=4)
+    assert m1["snapshot"] == 0 and m1["rows"] == 100
+    assert len(m1["partitions"]) <= 4
+    m2 = materialize_table(df.limit(10), path, "stage2", n_buckets=4)
+    assert m2["snapshot"] == 1 and m2["parent"] == 0
+    latest = read_latest_snapshot(spark, path)
+    assert latest.count() == 10
+    assert latest_manifest(path)["stage"] == "stage2"
+
+
+def test_pipeline_end_to_end_and_resume(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    pages = synth_pages(spark, SF).limit(50)
+    pipe = KGConstructionPipeline(spark, wh)
+    manifests = pipe.run(pages, resume=False)
+    assert manifests["raw_triples"]["rows"] > 0
+    assert manifests["entity_triples"]["rows"] > 0
+    assert manifests["links"]["rows"] > 0
+    assert manifests["triples"]["rows"] >= manifests["entity_triples"]["rows"]
+    # lineage: per-bucket partition stats present
+    assert manifests["raw_triples"]["partitions"]
+
+    # Resume: no new snapshots are written when all stages are done.
+    snaps_before = {
+        t: sorted(os.listdir(os.path.join(wh, t))) for t in os.listdir(wh)
+    }
+    pipe2 = KGConstructionPipeline(spark, wh)
+    manifests2 = pipe2.run(pages, resume=True)
+    snaps_after = {
+        t: sorted(os.listdir(os.path.join(wh, t))) for t in os.listdir(wh)
+    }
+    assert snaps_before == snaps_after
+    assert manifests2["triples"]["rows"] == manifests["triples"]["rows"]
