@@ -34,7 +34,10 @@ from extract_cbd_shape_spark.operators.dedup import (
     simhash,
 )
 from extract_cbd_shape_spark.operators.kgtriples import (
+    KBO_SHAPE_IRI,
+    KBO_SHAPE_TTL,
     ORACLE_TRIPLES_CTE,
+    kbo_members,
     tpch_triples,
 )
 from extract_cbd_shape_spark.operators.linking import link_mentions
@@ -125,6 +128,17 @@ def _q_shape_extract_order(spark, sf_dir):
     results, _ = ex.extract(
         triples, _order_seeds(spark, sf_dir), shape=Term(IRI, ORDER_SHAPE)
     )
+    return results.select("entity", "subject", "predicate", "object_value")
+
+
+def _q_kbo_bulk_extract(spark, sf_dir):
+    """Bulk shape-guided extraction of EVERY member of a KBO-style
+    corpus (one ~14-quad member per orders row) in one job — the
+    reference's perf scenario (perf/perftest-inband.js) generalized."""
+    triples, members = kbo_members(spark, sf_dir)
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    results, _ = ex.extract(triples, members, shape=Term(IRI, KBO_SHAPE_IRI))
     return results.select("entity", "subject", "predicate", "object_value")
 
 
@@ -365,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cbd_blank_closure": _q_cbd_blank_closure,
         "shape_extract_order": _q_shape_extract_order,
+        "kbo_bulk_extract": _q_kbo_bulk_extract,
         "path_closure": _q_path_closure,
         "q1_pricing": _q_q1_pricing,
         "q3_revenue": _q_q3_revenue,
@@ -488,6 +503,28 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cbd_blank_closure": _CBD_ORACLE,
         "shape_extract_order": _SHAPE_ORACLE,
+        "kbo_bulk_extract": """
+WITH m AS (SELECT o_orderkey AS k FROM orders)
+SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
+  SELECT k, 'm:'||k AS subject, 'rdf:type' AS predicate,
+         'kbo:legalEntity' AS object_value FROM m
+  UNION ALL SELECT k, 'm:'||k, 'rdf:type', 'kbo:Enterprise' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:isVersionOf', 'v:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyStatus',
+            'kbo:JuridicalSituation_000' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyType',
+            'kbo:JuridicalForm_014' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:legalName', 'Company '||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:registeredAddress', 'a:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||(k % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 7) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 13) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:establishment', 'e:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:status', 'kbo:Status_AC' FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:fullAddress', 'Street '||k FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:postCode', (k % 9999)::VARCHAR FROM m
+)
+""",
         "path_closure": """
 WITH RECURSIVE edges AS (
   SELECT o_orderkey AS src,

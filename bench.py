@@ -52,6 +52,7 @@ def run_suite(spark, sf_dir: str) -> dict:
 
     q = entrymod.queries()
     headline = [
+        "kbo_bulk_extract",      # engine: bulk member extraction (flagship)
         "shape_extract_order",   # engine: CBD + blank closure + nodeLinks
         "path_closure",          # iterative transitive closure
         "minhash_lsh_dups",      # shingle -> minhash -> LSH -> verify
@@ -61,10 +62,11 @@ def run_suite(spark, sf_dir: str) -> dict:
         "top_orders_per_customer",  # window top-k
     ]
     timings = {}
+    counts = {}
     for name in headline:
         t0 = time.time()
         df = q[name](spark, sf_dir)
-        n = df.count()
+        counts[name] = df.count()
         timings[name] = round(time.time() - t0, 2)
 
     # Flagship: end-to-end KG pipeline, fresh warehouse.
@@ -79,8 +81,14 @@ def run_suite(spark, sf_dir: str) -> dict:
     finally:
         shutil.rmtree(wh, ignore_errors=True)
     timings["kg_pipeline_e2e"] = pipeline_sec
-    return {"queries": timings, "pipeline_triples": triples,
-            "pipeline_sec": pipeline_sec}
+    return {
+        "queries": timings,
+        "pipeline_triples": triples,
+        "pipeline_sec": pipeline_sec,
+        "extract_quads_per_sec": round(
+            counts["kbo_bulk_extract"] / max(timings["kbo_bulk_extract"], 1e-9), 1
+        ),
+    }
 
 
 def main():
@@ -99,6 +107,7 @@ def main():
         "triples_per_sec": round(
             out["pipeline_triples"] / max(out["pipeline_sec"], 1e-9), 1
         ),
+        "extract_quads_per_sec": out["extract_quads_per_sec"],
         "wall_total_sec": total,
     }
     print(json.dumps(result))

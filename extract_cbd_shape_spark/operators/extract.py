@@ -98,6 +98,52 @@ class Member:
     graphs_to_ignore: Sequence[Term] = field(default_factory=tuple)
 
 
+def _unwrap_inverse(path: Path):
+    """Strip InversePath wrappers; returns (inner, inverse_flag)."""
+    inv = False
+    while isinstance(path, InversePath):
+        inv = not inv
+        path = path.path
+    return path, inv
+
+
+def _plan_stages(paths: List[Path]):
+    """Group consecutive simple predicate paths into batched stages.
+
+    A stage of simple (possibly inverse-wrapped) PredicatePaths with
+    pairwise-distinct (predicate, inverse) keys can be gated and matched
+    in ONE join pass: within such a stage, path A's trie pushes can
+    never flip path B's found() result (their candidate words differ
+    structurally), and a gated-out path's re-push is idempotent — the
+    word is already in the trie, which is what made it gated. This
+    collapses the reference's sequential per-path loop
+    (lib/CBDShapeExtractor.ts:404-417) without changing its semantics.
+
+    Yields ("simple", [(idx, predicate, inverse), ...]) or
+    ("complex", idx).
+    """
+    out = []
+    cur: List[tuple] = []
+    seen = set()
+    for idx, p in enumerate(paths):
+        inner, inv = _unwrap_inverse(p)
+        if isinstance(inner, PredicatePath):
+            key = (inner.predicate, inv)
+            if key in seen:
+                out.append(("simple", cur))
+                cur, seen = [], set()
+            cur.append((idx, inner.predicate, inv))
+            seen.add(key)
+        else:
+            if cur:
+                out.append(("simple", cur))
+                cur, seen = [], set()
+            out.append(("complex", idx))
+    if cur:
+        out.append(("simple", cur))
+    return out
+
+
 def _sql_extend_word(pos: Column, sign: str, predicate: Column) -> Column:
     """Reduced-word push in pure SQL (mirrors shapes.ast.extend_word)."""
     opp = "-" if sign == "+" else "+"
@@ -138,7 +184,7 @@ class BulkCBDShapeExtractor:
     def extract(
         self,
         triples: DataFrame,
-        members: Union[Sequence[Member], Sequence[Term]],
+        members: Union[DataFrame, Sequence[Member], Sequence[Term]],
         shape: Optional[Term] = None,
         graphs_to_ignore: Optional[Sequence[Term]] = None,
         bulk: bool = False,
@@ -148,9 +194,30 @@ class BulkCBDShapeExtractor:
         results: member_id, entity, input_idx + quad columns.
         flags:   member_id, node, shape_key, missing (needs_dereference).
 
-        ``bulk=True`` additionally ignores, per member, every *other*
-        member's named graph (lib/CBDShapeExtractor.ts:95-99).
+        ``members`` may be a DataFrame (columns: entity string,
+        entity_kind tinyint; optional shape_key, input_idx) for
+        large seed sets — the scale path; the resolver loop is only
+        supported for sequence input. ``bulk=True`` additionally
+        ignores, per member, every *other* member's named graph
+        (lib/CBDShapeExtractor.ts:95-99).
         """
+        if isinstance(members, DataFrame):
+            sk = F.lit(_shape_key(shape)).cast("string")
+            mdf = members
+            if "shape_key" not in mdf.columns:
+                mdf = mdf.withColumn("shape_key", sk)
+            if "input_idx" not in mdf.columns:
+                mdf = mdf.withColumn(
+                    "input_idx", F.monotonically_increasing_id()
+                )
+            if "entity_kind" not in mdf.columns:
+                mdf = mdf.withColumn("entity_kind", F.lit(IRI).cast("tinyint"))
+            mdf = mdf.withColumn(
+                "member_id", F.xxhash64("entity", "entity_kind", "input_idx")
+            ).localCheckpoint()
+            run = _Run(self, triples, mdf, bulk)
+            return run.execute()
+
         norm: List[Member] = []
         for m in members:
             if isinstance(m, Member):
@@ -215,31 +282,36 @@ class _Run:
     """One bulk extraction pass over a fixed store."""
 
     def __init__(self, ex: BulkCBDShapeExtractor, triples: DataFrame,
-                 members: List[Member], bulk: bool):
+                 members: Union[List[Member], DataFrame], bulk: bool):
         self.ex = ex
         self.spark = ex.spark
         self.bulk = bulk
-        self.members = members
         self.shapes = ex.shapes_graph
 
-        member_rows = []
-        ignore_rows = []
-        for i, m in enumerate(members):
-            member_rows.append(
-                (i, m.entity.value, m.entity.kind, _shape_key(m.shape), i)
+        if isinstance(members, DataFrame):
+            self.members_df = members.select(
+                "member_id", "entity", "entity_kind", "shape_key", "input_idx"
             )
-            for g in m.graphs_to_ignore:
-                ignore_rows.append((i, g.value))
-        self.members_df = self.spark.createDataFrame(
-            member_rows,
-            "member_id long, entity string, entity_kind tinyint, "
-            "shape_key string, input_idx long",
-        )
-        self.ignored_pairs = (
-            self.spark.createDataFrame(ignore_rows, "member_id long, graph string")
-            if ignore_rows
-            else None
-        )
+            self.ignored_pairs = None
+        else:
+            member_rows = []
+            ignore_rows = []
+            for i, m in enumerate(members):
+                member_rows.append(
+                    (i, m.entity.value, m.entity.kind, _shape_key(m.shape), i)
+                )
+                for g in m.graphs_to_ignore:
+                    ignore_rows.append((i, g.value))
+            self.members_df = self.spark.createDataFrame(
+                member_rows,
+                "member_id long, entity string, entity_kind tinyint, "
+                "shape_key string, input_idx long",
+            )
+            self.ignored_pairs = (
+                self.spark.createDataFrame(ignore_rows, "member_id long, graph string")
+                if ignore_rows
+                else None
+            )
 
         # Tag each triple with whether its graph is a member's named graph
         # (bulk isolation rule, lib/CBDShapeExtractor.ts:79-99). At scale this
@@ -684,7 +756,14 @@ class _Run:
         # (lib/CBDShapeExtractor.ts:399,419-428).
         matched_targets: Dict[int, DataFrame] = {}
         gated_out_rows: Dict[int, DataFrame] = {}
-        for idx, path in enumerate(match_paths):
+        for kind, payload in _plan_stages(match_paths):
+            if kind == "simple":
+                self._process_simple_stage(
+                    shape, focus_base, match_paths, payload,
+                    matched_targets, gated_out_rows,
+                )
+                continue
+            path = match_paths[payload]
             if shape.closed:
                 rows = focus_base
                 skipped = focus_base.limit(0)
@@ -735,6 +814,95 @@ class _Run:
                 ).dropDuplicates()
             )
         return new_work
+
+    def _process_simple_stage(
+        self,
+        shape: ShapeTemplate,
+        focus_base: DataFrame,
+        match_paths: List[Path],
+        stage: List[tuple],
+        matched_targets: Dict[int, DataFrame],
+        gated_out_rows: Dict[int, DataFrame],
+    ) -> None:
+        """Batched gate+match for a stage of simple predicate paths:
+        one join per direction over ALL work rows. Gating is a join
+        against the pre-stage trie instead of a pandas evaluation;
+        gated rows still contribute targets (the nodeLink fallback,
+        lib/CBDShapeExtractor.ts:421-428) but not result quads."""
+        trie_before = self._trie_df()
+        empty = focus_base.limit(0)
+        for inverse in (False, True):
+            items = [(i, p) for (i, p, inv) in stage if inv == inverse]
+            if not items:
+                continue
+            preds = [p for _, p in items]
+            f = focus_base.alias("f")
+            tt = self.triples.alias("t")
+            pred_cond = F.col("t.predicate").isin(preds)
+            if not inverse:
+                cond = (
+                    (F.col("f.node") == F.col("t.subject"))
+                    & (F.col("f.node_kind") == F.col("t.subject_kind"))
+                    & pred_cond
+                )
+                tgt = ("t.object_value", "t.object_kind",
+                       "t.object_lang", "t.object_datatype")
+            else:
+                cond = (
+                    (F.col("f.node") == F.col("t.object_value"))
+                    & (F.col("f.node_kind") == F.col("t.object_kind"))
+                    & F.col("f.node_lang").eqNullSafe(F.col("t.object_lang"))
+                    & F.col("f.node_datatype").eqNullSafe(F.col("t.object_datatype"))
+                    & pred_cond
+                )
+                tgt = ("t.subject", "t.subject_kind", None, None)
+            pass_cols = [c for c in focus_base.columns if c not in _NODE_COLS]
+            joined = f.join(tt, cond, "inner")
+            joined = self._graph_filter(
+                joined.select(
+                    *[F.col(f"f.{c}").alias(c) for c in pass_cols],
+                    F.col("f.pos").alias("_old_pos"),
+                    F.col(tgt[0]).alias("node"),
+                    F.col(tgt[1]).alias("node_kind"),
+                    (F.col(tgt[2]) if tgt[2] else F.lit(None).cast("string")).alias("node_lang"),
+                    (F.col(tgt[3]) if tgt[3] else F.lit(None).cast("string")).alias("node_datatype"),
+                    *[F.col(f"t.{c}").alias(f"_q_{c}") for c in QUAD_COLS],
+                    F.col("t.graph_is_member"),
+                ).withColumn("graph", F.col("_q_graph"))
+            ).drop("graph", "graph_is_member")
+            sign = "-" if inverse else "+"
+            joined = joined.withColumn(
+                "pos", _sql_extend_word(F.col("_old_pos"), sign, F.col("_q_predicate"))
+            )
+            if not shape.closed:
+                # found-gate: the candidate word equals pos-after; a hit
+                # in the pre-stage trie means the path was already
+                # witnessed -> suppress its result quads.
+                tb = trie_before.select(
+                    F.col("member_id"), F.col("word").alias("pos")
+                ).distinct().withColumn("_found", F.lit(True))
+                joined = joined.join(tb, ["member_id", "pos"], "left")
+            else:
+                joined = joined.withColumn("_found", F.lit(None).cast("boolean"))
+            joined = joined.localCheckpoint()
+
+            self.trie_parts.append(
+                joined.select("member_id", F.col("pos").alias("word")).distinct()
+            )
+            quad_cols = [F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
+            self.result_parts.append(
+                joined.filter(F.col("_found").isNull()).select("member_id", *quad_cols)
+            )
+            quad_struct = F.struct(*quad_cols)
+            targets_all = joined.withColumn(
+                "path_quads", F.array(quad_struct)
+            ).select(*pass_cols, *_NODE_COLS, "_q_predicate")
+            for idx, pred in items:
+                path_obj = match_paths[idx]
+                matched_targets[id(path_obj)] = targets_all.filter(
+                    F.col("_q_predicate") == pred
+                ).drop("_q_predicate")
+                gated_out_rows[id(path_obj)] = empty
 
     # ----------------------------------------------------------- deref flags
 

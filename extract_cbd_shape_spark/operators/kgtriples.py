@@ -65,6 +65,102 @@ def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------------------------
+# KBO-style benchmark corpus (mirrors the reference's perf fixtures:
+# perf/resources/kbo.ttl members — ~13 quads each: 2 rdf:type values,
+# isVersionOf, companyStatus/Type, legalName, a blank registeredAddress
+# node with 2 quads, 3 kbo:activity values, establishment, status —
+# and perf/resources/shacl-kbo.ttl LegalEntityShape/AddressShape).
+# Generated deterministically from the orders table at any sf.
+# --------------------------------------------------------------------------
+
+KBO_SHAPE_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/bench/> .
+ex:LegalEntityShape a sh:NodeShape ;
+  sh:property [ sh:path <rdf:type> ] ;
+  sh:property [ sh:path <kbo:isVersionOf> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <kbo:companyStatus> ] ;
+  sh:property [ sh:path <kbo:companyType> ] ;
+  sh:property [ sh:path <kbo:legalName> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <kbo:registeredAddress> ; sh:minCount 1 ;
+                sh:node ex:AddressShape ] ;
+  sh:property [ sh:path <kbo:activity> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <kbo:establishment> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <kbo:status> ; sh:minCount 1 ] .
+ex:AddressShape a sh:NodeShape ;
+  sh:property [ sh:path <kbo:fullAddress> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <kbo:postCode> ; sh:minCount 1 ] .
+"""
+
+KBO_SHAPE_IRI = "http://example.org/bench/LegalEntityShape"
+
+
+def kbo_members(spark: SparkSession, sf_dir: str,
+                named_graphs: bool = False):
+    """(triples_df, members_df): one ~13-quad member per orders row."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    m = F.concat(F.lit("m:"), F.col("o_orderkey"))
+    addr = F.concat(F.lit("a:"), F.col("o_orderkey"))
+    if named_graphs:
+        g_val, g_kind = m, IRI
+    else:
+        g_val, g_kind = F.lit(None).cast("string"), None
+
+    def q(sub, sk, pred, ov, ok, dt=None):
+        return [
+            sub.alias("subject"),
+            F.lit(sk).cast("tinyint").alias("subject_kind"),
+            F.lit(pred).alias("predicate") if isinstance(pred, str)
+            else pred.alias("predicate"),
+            ov.alias("object_value"),
+            F.lit(ok).cast("tinyint").alias("object_kind"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit(dt).cast("string").alias("object_datatype"),
+            g_val.cast("string").alias("graph"),
+            F.lit(g_kind).cast("tinyint").alias("graph_kind"),
+        ]
+
+    lit_name = F.concat(F.lit("Company "), F.col("o_orderkey"))
+    parts = [
+        orders.select(*q(m, IRI, "rdf:type", F.lit("kbo:legalEntity"), IRI)),
+        orders.select(*q(m, IRI, "rdf:type", F.lit("kbo:Enterprise"), IRI)),
+        orders.select(*q(m, IRI, "kbo:isVersionOf",
+                         F.concat(F.lit("v:"), F.col("o_orderkey")), IRI)),
+        orders.select(*q(m, IRI, "kbo:companyStatus",
+                         F.lit("kbo:JuridicalSituation_000"), IRI)),
+        orders.select(*q(m, IRI, "kbo:companyType",
+                         F.lit("kbo:JuridicalForm_014"), IRI)),
+        orders.select(*q(m, IRI, "kbo:legalName", lit_name, LITERAL,
+                         XSD_STRING)),
+        orders.select(*q(m, IRI, "kbo:registeredAddress", addr, BLANK)),
+        orders.select(*q(m, IRI, "kbo:activity",
+                         F.concat(F.lit("act:"), F.col("o_orderkey") % 50), IRI)),
+        orders.select(*q(m, IRI, "kbo:activity",
+                         F.concat(F.lit("act:"), (F.col("o_orderkey") + 7) % 50), IRI)),
+        orders.select(*q(m, IRI, "kbo:activity",
+                         F.concat(F.lit("act:"), (F.col("o_orderkey") + 13) % 50), IRI)),
+        orders.select(*q(m, IRI, "kbo:establishment",
+                         F.concat(F.lit("e:"), F.col("o_orderkey")), IRI)),
+        orders.select(*q(m, IRI, "kbo:status", F.lit("kbo:Status_AC"), IRI)),
+        orders.select(*q(addr, BLANK, "kbo:fullAddress",
+                         F.concat(F.lit("Street "), F.col("o_orderkey")),
+                         LITERAL, XSD_STRING)),
+        orders.select(*q(addr, BLANK, "kbo:postCode",
+                         (F.col("o_orderkey") % 9999).cast("string"),
+                         LITERAL, XSD_STRING)),
+    ]
+    triples = parts[0]
+    for p in parts[1:]:
+        triples = triples.unionByName(p)
+    members = orders.select(
+        m.alias("entity"),
+        F.lit(IRI).cast("tinyint").alias("entity_kind"),
+        F.col("o_orderkey").cast("long").alias("input_idx"),
+    )
+    return triples, members
+
+
 # DuckDB mirror — one CTE named `triples` with the same rows
 # (columns: subject, predicate, object_value, object_kind).
 ORACLE_TRIPLES_CTE = """
