@@ -1,0 +1,119 @@
+"""Unit tests for training-data operators on tiny hand-built inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from extract_cbd_shape_spark.operators.closure import (
+    connected_components,
+    transitive_closure,
+)
+from extract_cbd_shape_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dups,
+    ngram_jaccard_dups,
+    simhash,
+)
+from extract_cbd_shape_spark.operators.linking import link_mentions, mentions_from_docs
+from extract_cbd_shape_spark.operators.similarity import cosine_topk, sign_lsh_buckets
+
+
+TEXT_A = "the quick brown fox jumps over the lazy dog again and again today"
+TEXT_B = "the quick brown fox jumps over the lazy dog again and again"  # near-dup
+TEXT_C = "completely different words about spark query engines and shuffles"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, TEXT_A), (2, TEXT_B), (3, TEXT_C), (4, TEXT_A)],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].representative == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in
+             minhash_lsh_dups(docs, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any({a, b} == {1, 3} for a, b in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in
+             ngram_jaccard_dups(docs, threshold=0.5).collect()}
+    assert (1, 4) in pairs and (1, 2) in pairs
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sh[1] == sh[4]
+    ham_near = bin(sh[1] ^ sh[2]).count("1")
+    ham_far = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_near <= ham_far
+
+
+def test_transitive_closure_cycle(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {(r.seed, r.node) for r in transitive_closure(edges, seeds).collect()}
+    assert got == {(1, 1), (1, 2), (1, 3)}
+
+
+def test_connected_components_chain_and_star(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (20, 20)],
+        "src long, dst long",
+    )
+    comp = {r.node: r.component for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == comp[12] == comp[13] == 10
+    assert comp[20] == 20
+
+
+def test_entity_linking_salted(spark, docs):
+    mentions = mentions_from_docs(docs)
+    dictionary = spark.createDataFrame(
+        [("fox", "ent:fox"), ("spark", "ent:spark")],
+        "surface_form string, entity_id string",
+    )
+    links = {(r.doc_id, r.entity_id) for r in
+             link_mentions(mentions, dictionary, salt=4).collect()}
+    assert (1, "ent:fox") in links and (2, "ent:fox") in links
+    assert (3, "ent:spark") in links
+    assert not any(d == 3 and e == "ent:fox" for d, e in links)
+
+
+def test_cosine_topk_exact(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = vecs.filter(F.col("vec_id") == 0)
+    got = [(r.neighbor_id, r.rank) for r in
+           cosine_topk(vecs, queries, k=3).orderBy("rank").collect()]
+    assert got[0] == (1, 1)
+    assert got[1] == (2, 2)
+    assert got[2] == (3, 3)
+
+
+def test_sign_lsh_buckets_deterministic(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [1.0] * 8), (2, [-1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    b = {r.vec_id: r.bucket for r in sign_lsh_buckets(vecs).collect()}
+    assert b[0] == b[1]
+    assert b[0] != b[2]
