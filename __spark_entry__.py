@@ -43,7 +43,15 @@ from extract_cbd_shape_spark.operators.kgtriples import (
 from extract_cbd_shape_spark.operators.linking import link_mentions
 from extract_cbd_shape_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
     sign_lsh_buckets,
+)
+from extract_cbd_shape_spark.functions.multimodal import (
+    decode_media,
+    frame_sample,
+    media_features,
+    resize_media,
+    synth_media,
 )
 from extract_cbd_shape_spark.functions.text import (
     LANG_STOPWORDS,
@@ -363,6 +371,43 @@ def _q_lsh_buckets(spark, sf_dir):
     return sign_lsh_buckets(_t(spark, sf_dir, "embeddings"))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(e, q, k=5, centroid_stride=16, nprobe=2)
+
+
+def _q_media_decode(spark, sf_dir):
+    return decode_media(synth_media(spark, sf_dir)).select(
+        "media_id", "kind", "width", "height", "payload_len", "checksum"
+    )
+
+
+def _q_media_frames(spark, sf_dir):
+    return frame_sample(synth_media(spark, sf_dir)).select(
+        "media_id", "frame_idx", "ts_ms"
+    )
+
+
+def _q_media_resize(spark, sf_dir):
+    r = resize_media(synth_media(spark, sf_dir), max_w=32, max_h=32)
+    return r.select(
+        "media_id", "kind", "width", "height",
+        F.length("payload").alias("payload_len"),
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    f = media_features(synth_media(spark, sf_dir), dim=8)
+    return f.select(
+        "media_id",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("int").cast("string")),
+            ",",
+        ).alias("feat"),
+    )
+
+
 def _q_pages_triples(spark, sf_dir):
     pages = synth_pages(spark, sf_dir)
     return extract_page_triples(pages).select(
@@ -398,6 +443,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         "cosine_topk": _q_cosine_topk,
         "lsh_buckets": _q_lsh_buckets,
+        "ivf_topk": _q_ivf_topk,
+        "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
+        "media_features": _q_media_features,
         "pages_extract_triples": _q_pages_triples,
         "pages_text_identity": _q_pages_text_identity,
     }
@@ -496,6 +546,60 @@ inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
           JOIN shd x ON x.doc_id = c.doc_a
           JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
           GROUP BY c.doc_a, c.doc_b)
+"""
+
+
+_MEDIA_CTE = """
+media AS (
+  SELECT doc_id AS media_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         repeat(md5(doc_id::VARCHAR), (1 + doc_id % 4)::INT) AS payload_str,
+         CASE WHEN doc_id % 3 <> 1 THEN (16 + doc_id % 64)::INT END AS width,
+         CASE WHEN doc_id % 3 <> 1 THEN (16 + doc_id % 48)::INT END AS height,
+         CASE WHEN doc_id % 3 <> 0
+              THEN (1000 + (doc_id % 10) * 500)::INT END AS duration_ms
+  FROM documents
+)
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"((SELECT sum(x * y) FROM (SELECT unnest({a})::DOUBLE AS x, "
+        f"unnest({b})::DOUBLE AS y))"
+        f" / (sqrt((SELECT sum(x * x) FROM (SELECT unnest({a})::DOUBLE AS x)))"
+        f" * sqrt((SELECT sum(y * y) FROM (SELECT unnest({b})::DOUBLE AS y)))))"
+    )
+
+
+_IVF_ORACLE = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id % 16 = 0
+),
+assign AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+lists AS (SELECT vec_id AS neighbor_id, centroid_id FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, centroid_id FROM assign
+           WHERE vec_id < 8 AND rn <= 2),
+scored AS (
+  SELECT p.query_id, l.neighbor_id,
+         {_cos_sql('q.embedding', 'e.embedding')} AS score
+  FROM probes p
+  JOIN lists l ON l.centroid_id = p.centroid_id
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings e ON e.vec_id = l.neighbor_id
+  WHERE l.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
 """
 
 
@@ -707,6 +811,38 @@ WITH proj AS (
 SELECT vec_id,
        sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END)::BIGINT AS bucket
 FROM proj GROUP BY vec_id
+""",
+        "ivf_topk": _IVF_ORACLE,
+        "media_decode": f"""
+WITH {_MEDIA_CTE.strip()}
+SELECT media_id, kind, width, height,
+       length(payload_str) AS payload_len,
+       md5(payload_str) AS checksum
+FROM media
+""",
+        "media_frames": f"""
+WITH {_MEDIA_CTE.strip()}
+SELECT media_id, i::INT AS frame_idx, (i * 500)::INT AS ts_ms
+FROM (SELECT media_id, unnest(range(0, duration_ms // 500)) AS i
+      FROM media WHERE kind = 'video')
+""",
+        "media_resize": f"""
+WITH {_MEDIA_CTE.strip()}
+SELECT media_id, kind,
+       CASE WHEN width IS NULL THEN NULL ELSE least(width, 32) END AS width,
+       CASE WHEN height IS NULL THEN NULL ELSE least(height, 32) END AS height,
+       CASE WHEN width IS NULL THEN length(payload_str)
+            ELSE greatest(1, (length(payload_str)
+                 * least(width, 32) * least(height, 32)) // (width * height))
+       END::INT AS payload_len
+FROM media
+""",
+        "media_features": f"""
+WITH {_MEDIA_CTE.strip()}
+SELECT media_id,
+       array_to_string(list_transform(range(1, 9),
+           j -> ascii(substr(payload_str, j::INT, 1))), ',') AS feat
+FROM media
 """,
         "pages_extract_triples": f"""
 WITH b AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS t FROM documents)

@@ -85,6 +85,60 @@ def sign_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
     return e.select("vec_id", bucket.alias("bucket"))
 
 
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             centroid_stride: int = 16, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: deterministic centroids = rows with
+    ``vec_id % centroid_stride == 0`` (swap for k-means centroids in
+    production); every vector is assigned to its nearest centroid
+    (broadcast join — the centroid set is tiny); a query probes its
+    ``nprobe`` nearest centroids and scans only those inverted lists.
+
+    Scale story: candidate generation is an equi-join on ``centroid_id``
+    (shuffle bounded by list sizes) instead of a full cross join —
+    at 100 TB the lists are bucketed by centroid_id so the probe join
+    is co-located. Recall < 1 by construction; cosine_topk is the
+    exactness baseline."""
+    cents = embeddings.filter(F.col(id_col) % centroid_stride == 0).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv")
+    )
+
+    def assign(df: DataFrame, out_id: str, out_vec: str, n: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("_cs", _cosine(F.col(out_vec), F.col("_cv")))
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.col("_cs").desc(), F.col("centroid_id")
+        )
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= n)
+            .drop("_cs", "_cr", "_cv")
+        )
+
+    lists = assign(embeddings, "neighbor_id", "_ev", 1)
+    probes = assign(queries, "query_id", "_qv", nprobe)
+    scored = (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", _cosine(F.col("_qv"), F.col("_ev")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 4).alias("score"), "rank")
+    )
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
