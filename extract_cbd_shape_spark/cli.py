@@ -1,0 +1,158 @@
+"""CLI parity with the reference's bin/ entry points.
+
+* ``extract`` — reference bin/extract.ts:44-66: load a shapes graph
+  (following ``owl:imports`` transitively, bin/extract.ts:16-42), load
+  data, extract one entity, serialize N-Quads to stdout or a file.
+  Where the reference extracts against an *empty* store and relies on
+  HTTP dereference of the entity IRI, this engine requires a local data
+  file (``--data``); out-of-band fetching is a flagged policy at scale
+  (SURVEY.md O17), with ``--resolve iri=file`` emulating single fetches.
+* ``mermaid`` — reference bin/mermaid.ts:22-40: compile a shapes graph
+  and print the Mermaid flowchart for one shape.
+
+Imports resolve as local paths (relative to the importing file) or
+``file:`` IRIs; ``http(s)`` imports are reported and skipped — this
+sandbox does not fetch.
+
+Usage:
+    python -m extract_cbd_shape_spark extract --data data.ttl \
+        --entity http://example.org/B [--shapes shapes.ttl] \
+        [--shape-iri IRI] [--out out.nq]
+    python -m extract_cbd_shape_spark mermaid shapes.ttl [shape-iri]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, List, Optional
+
+from extract_cbd_shape_spark.model import IRI, Quad, Term
+from extract_cbd_shape_spark.rdf.trig import parse_trig
+
+OWL_IMPORTS = "http://www.w3.org/2002/07/owl#imports"
+
+
+def load_shape_quads(path: str, _seen: Optional[set] = None) -> List[Quad]:
+    """Parse a local TTL/TriG file and transitively follow owl:imports
+    (bin/extract.ts:16-42 loadShape). Local/file: imports only."""
+    seen = _seen if _seen is not None else set()
+    path = os.path.abspath(path)
+    if path in seen:
+        return []
+    seen.add(path)
+    with open(path) as f:
+        quads = parse_trig(f.read(), base=f"file://{path}")
+    out = list(quads)
+    for q in quads:
+        if q.predicate.value != OWL_IMPORTS or q.object.kind != IRI:
+            continue
+        target = q.object.value
+        if target.startswith("file://"):
+            target = target[len("file://"):]
+        if target.startswith(("http://", "https://")):
+            print(f"# skipping remote owl:imports {target} (no network)",
+                  file=sys.stderr)
+            continue
+        if not os.path.isabs(target):
+            target = os.path.join(os.path.dirname(path), target)
+        out.extend(load_shape_quads(target, seen))
+    return out
+
+
+def _build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("extract-cbd-shape-spark-cli")
+        .config("spark.sql.shuffle.partitions", "1")
+        .config("spark.sql.codegen.wholeStage", "false")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    from extract_cbd_shape_spark.operators.extract import BulkCBDShapeExtractor
+    from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
+    from extract_cbd_shape_spark.sinks.nquads import to_nquads
+    from extract_cbd_shape_spark.sources.fixtures import quads_to_df
+
+    spark = _build_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    shapes_graph = None
+    shape = None
+    if args.shapes:
+        shapes_graph = ShapesGraph.from_quads(load_shape_quads(args.shapes))
+        if args.shape_iri:
+            shape = Term(IRI, args.shape_iri)
+
+    resolver: Dict[str, List[Quad]] = {}
+    for spec in args.resolve or []:
+        iri, _, fpath = spec.partition("=")
+        with open(fpath) as f:
+            resolver[iri] = parse_trig(f.read(), base=iri)
+
+    data = quads_to_df(spark, load_shape_quads(args.data))
+    ex = BulkCBDShapeExtractor(
+        spark, shapes_graph=shapes_graph,
+        resolver=resolver if resolver else None,
+    )
+    results, flags = ex.extract(data, [Term(IRI, args.entity)], shape=shape)
+    lines = [r.line for r in to_nquads(results).orderBy("line").collect()]
+    text = "\n".join(lines) + ("\n" if lines else "")
+    if args.out and args.out != "-":
+        with open(args.out, "w") as f:
+            f.write(text)
+    else:
+        sys.stdout.write(text)
+    needs = flags.count() if flags is not None else 0
+    if needs:
+        print(f"# {needs} entities flagged needs_dereference", file=sys.stderr)
+    return 0
+
+
+def cmd_mermaid(args: argparse.Namespace) -> int:
+    from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
+    from extract_cbd_shape_spark.shapes.mermaid import MermaidRenderer
+
+    sg = ShapesGraph.from_quads(load_shape_quads(args.shapes))
+    renderer = MermaidRenderer(sg)
+    if args.shape_iri:
+        print(renderer.render(Term(IRI, args.shape_iri)))
+    else:
+        for kind, value in sorted(sg.shapes):
+            print(renderer.render(Term(kind, value)))
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="extract_cbd_shape_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="extract one entity, print N-Quads")
+    pe.add_argument("--data", required=True, help="TTL/TriG data file")
+    pe.add_argument("--entity", required=True, help="focus entity IRI")
+    pe.add_argument("--shapes", help="SHACL shapes TTL (owl:imports followed)")
+    pe.add_argument("--shape-iri", help="shape IRI within the shapes graph")
+    pe.add_argument("--resolve", action="append", metavar="IRI=FILE",
+                    help="emulated dereference: serve FILE for IRI")
+    pe.add_argument("--out", default="-", help="output file or - for stdout")
+    pe.add_argument("--cpus", type=int, default=4)
+    pe.set_defaults(fn=cmd_extract)
+
+    pm = sub.add_parser("mermaid", help="render shapes as Mermaid")
+    pm.add_argument("shapes", help="SHACL shapes TTL file")
+    pm.add_argument("shape_iri", nargs="?", help="one shape IRI (default: all)")
+    pm.set_defaults(fn=cmd_mermaid)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

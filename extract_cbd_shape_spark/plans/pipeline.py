@@ -79,10 +79,10 @@ class KGConstructionPipeline:
 
         # Stage 2 — per-entity CBD/shape extraction (bulk engine).
         if not (resume and self._stage_done("entity_triples", "extract_entities")):
-            subjects = [
-                Term(IRI, r.subject)
-                for r in raw.select("subject").distinct().collect()
-            ]
+            # Seeds stay distributed: a DataFrame of distinct subjects
+            # (collecting 10^12-scale subject lists to the driver is the
+            # one thing this pipeline must never do).
+            subjects = raw.select(F.col("subject").alias("entity")).distinct()
             ex = BulkCBDShapeExtractor(spark, shapes_graph=self.shapes_graph)
             results, flags = ex.extract(
                 raw.drop("page_url", "bucket"), subjects, shape=self.shape, bulk=True

@@ -1,0 +1,74 @@
+"""CLI parity (bin/extract.ts, bin/mermaid.ts): extraction to N-Quads,
+owl:imports closure, mermaid rendering, N-Quads formatting."""
+
+import pytest
+
+from extract_cbd_shape_spark.cli import load_shape_quads, main
+from extract_cbd_shape_spark.model import Quad, Term
+from extract_cbd_shape_spark.sinks.nquads import to_nquads
+from extract_cbd_shape_spark.sources.fixtures import quads_to_df
+
+DATA03 = "/root/reference/tests/03 - CBD tests without a shape/data.ttl"
+SHAPE05 = "/root/reference/tests/05 - paths/shape.ttl"
+
+
+def test_cli_extract_cbd_counts(spark, capsys):
+    rc = main(["extract", "--data", DATA03,
+               "--entity", "http://example.org/B"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 8
+    assert all(line.endswith(" .") for line in out)
+    assert out == sorted(out)
+
+
+def test_cli_mermaid(spark, capsys):
+    rc = main(["mermaid", SHAPE05, "http://example.org/AlternativePathShape"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("flowchart LR")
+    assert "AlternativePathShape" in out
+
+
+def test_owl_imports_closure(tmp_path):
+    (tmp_path / "b.ttl").write_text(
+        "<http://example.org/s2> <http://example.org/p> \"from-b\" .\n"
+    )
+    (tmp_path / "a.ttl").write_text(
+        f"<http://example.org/g> <http://www.w3.org/2002/07/owl#imports> "
+        f"<file://{tmp_path}/b.ttl> .\n"
+        "<http://example.org/g> <http://www.w3.org/2002/07/owl#imports> "
+        "<http://remote.example/c.ttl> .\n"
+        "<http://example.org/s1> <http://example.org/p> \"from-a\" .\n"
+    )
+    quads = load_shape_quads(str(tmp_path / "a.ttl"))
+    values = {q.object.value for q in quads}
+    assert "from-a" in values and "from-b" in values  # local import followed
+    # cycle safety: a file importing itself terminates
+    (tmp_path / "c.ttl").write_text(
+        f"<http://example.org/g> <http://www.w3.org/2002/07/owl#imports> "
+        f"<file://{tmp_path}/c.ttl> .\n"
+    )
+    assert load_shape_quads(str(tmp_path / "c.ttl"))
+
+
+def test_nquads_literal_escaping(spark):
+    quads = [
+        Quad(Term.iri("http://s"), Term.iri("http://p"),
+             Term.literal('say "hi"\nline2', lang="en")),
+        Quad(Term.iri("http://s"), Term.iri("http://p"),
+             Term.literal("42", datatype="http://www.w3.org/2001/XMLSchema#integer")),
+        Quad(Term.blank("b0"), Term.iri("http://p"), Term.iri("http://o"),
+             Term.iri("http://g")),
+        Quad(Term.iri("http://s"), Term.iri("http://p"),
+             Term.literal("plain")),
+    ]
+    lines = sorted(
+        r.line for r in to_nquads(quads_to_df(spark, quads)).collect()
+    )
+    assert lines == sorted([
+        '<http://s> <http://p> "say \\"hi\\"\\nline2"@en .',
+        '<http://s> <http://p> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .',
+        "_:b0 <http://p> <http://o> <http://g> .",
+        '<http://s> <http://p> "plain" .',
+    ])
