@@ -330,7 +330,16 @@ class _Run:
             )
         else:
             t = t.withColumn("graph_is_member", F.lit(False))
-        self.triples = t.localCheckpoint()
+        # Hash-partition the store by subject once; localCheckpoint
+        # preserves outputPartitioning, so every forward join (frontier
+        # node = subject) reuses it and only the (small) frontier side
+        # shuffles — the Spark analogue of the reference's SPOG index
+        # (lib/Utils.ts:10-23). Inverse joins shuffle both sides; an
+        # object-keyed second copy is the upgrade path if a shape is
+        # inverse-heavy.
+        self.triples = t.repartition(
+            F.col("subject"), F.col("subject_kind")
+        ).localCheckpoint()
 
         # Engine state.
         self.result_parts: List[DataFrame] = []
@@ -372,7 +381,10 @@ class _Run:
         )
 
     def _checkpoint_trie(self) -> None:
-        self.trie_parts = [self._trie_df().distinct().localCheckpoint()]
+        # persist, not localCheckpoint: stays lazy (no job when the trie
+        # is never consumed again — e.g. final round of a simple shape);
+        # parents are checkpointed so lineage stays shallow.
+        self.trie_parts = [self._trie_df().distinct().persist()]
 
     @staticmethod
     def _empty(df: DataFrame) -> bool:
@@ -385,9 +397,12 @@ class _Run:
 
         Emits quads into result_parts and words into trie_parts; maintains
         the global per-member blank-visited set."""
+        # extractedStar memo (lib/CBDShapeExtractor.ts:472-508 guard):
+        # a node whose star was already emitted for this member is not
+        # re-extracted in a later nodeLink round.
         frontier = work.select(
             "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
-        )
+        ).join(self.visited_cbd, ["member_id", "node", "node_kind"], "left_anti")
         self.visited_cbd = (
             self.visited_cbd.unionByName(
                 frontier.select("member_id", "node", "node_kind")
@@ -918,13 +933,13 @@ class _Run:
                 proc = proc.unionByName(p)
             proc = proc.filter(F.col("node_kind") == IRI).dropDuplicates()
             words = self._words_agg()
-            shapes_by_key = {
-                sk: self._resolve_shape(sk)
-                for sk in [
-                    r.shape_key for r in proc.select("shape_key").distinct().collect()
-                ]
-            }
-            shapes_local = {k: v for k, v in shapes_by_key.items() if v is not None}
+            # Shape keys come from the compiled graph (driver-side), not a
+            # distinct-collect over the data: keeps this plan fully lazy.
+            shapes_local = (
+                {f"{k}:{v}": t for (k, v), t in self.shapes.shapes.items()}
+                if self.shapes is not None
+                else {}
+            )
 
             @F.pandas_udf("string")
             def missing_expr(pos: pd.Series, word_lists: pd.Series,
@@ -968,4 +983,8 @@ class _Run:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.dropDuplicates().localCheckpoint()
+        # Lazy on purpose: every input (results, trie, processed parts) is
+        # already checkpointed, and callers that never read the flags —
+        # the common bulk path — must not pay for the per-member pandas
+        # validation pass.
+        return out.dropDuplicates()

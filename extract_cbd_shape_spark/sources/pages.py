@@ -40,9 +40,21 @@ def _escape(col):
     return F.replace(c, F.lit(">"), F.lit("&gt;"))
 
 
-def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic (url, warc_ts, html, text, lang) from documents."""
+def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFrame:
+    """Deterministic (url, warc_ts, html, text, lang) from documents.
+
+    ``replicate`` unions K deterministic copies with disjoint doc_id
+    ranges (distinct urls/subjects) — used by the scaling bench to size
+    the corpus so executor work dominates per-job overhead."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        base = docs
+        for i in range(1, replicate):
+            docs = docs.unionByName(
+                base.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+                )
+            )
     toks = tokens(F.col("text"))
     jsonld = F.to_json(
         F.struct(

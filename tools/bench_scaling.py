@@ -2,59 +2,80 @@
 efficiency >= 0.8 from N to 4N executors, evidenced in-sandbox as
 local[N] vs local[4N] on the same input).
 
-Runs the flagship KG pipeline + engine extraction at local[8] and
-local[32] in separate JVMs (fresh SparkSession each, sequential so
-they don't contend), writes BENCH.md.
+Jobs are sized so executor work dominates fixed per-wave driver
+overhead (which a real cluster overlaps, but a single local JVM
+serializes):
 
-Usage: python tools/bench_scaling.py [sf_dir]
+* kbo_extract — bulk shape-guided extraction of every member of the
+  KBO-style corpus (orders rows at the sf; 150k members / 2.1M quads
+  at sf0.1): the reference's perf scenario generalized.
+* kg_pipeline — the end-to-end KG construction pipeline over a
+  replicated pages corpus (REPLICATE deterministic disjoint copies of
+  the sf documents).
+
+Each level runs in a fresh JVM (sequential, no contention), with a
+small warm-up first so codegen/JIT is out of the timing.
+
+Usage: python tools/bench_scaling.py [sf_dir] [lo_cpus] [hi_cpus]
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import subprocess
 import sys
-import tempfile
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+LO = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+HI = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "16"))
 
 RUNNER = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
-cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]; replicate = int(sys.argv[3])
 from bench import build_spark
 spark = build_spark(cpus)
 spark.sparkContext.setLogLevel("ERROR")
 from extract_cbd_shape_spark.plans.pipeline import KGConstructionPipeline
 from extract_cbd_shape_spark.sources.pages import synth_pages
-import __spark_entry__ as entrymod
+from extract_cbd_shape_spark.operators.kgtriples import (
+    kbo_members, KBO_SHAPE_TTL, KBO_SHAPE_IRI)
+from extract_cbd_shape_spark.operators import BulkCBDShapeExtractor
+from extract_cbd_shape_spark.rdf import parse_trig
+from extract_cbd_shape_spark.shapes import ShapesGraph
+from extract_cbd_shape_spark.model import Term, IRI
 
-# Warm up the JVM/codegen on a small slice so we time steady state.
+# Warm-up: JVM/codegen on a small slice, excluded from timing.
+shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+wt, wm = kbo_members(spark, "/root/testdata/sf0.001")
+BulkCBDShapeExtractor(spark, shapes_graph=shapes).extract(
+    wt, wm, shape=Term(IRI, KBO_SHAPE_IRI))[0].count()
 wh0 = tempfile.mkdtemp(prefix="warm_")
-KGConstructionPipeline(spark, wh0).run(synth_pages(spark, sf_dir).limit(50),
-                                       resume=False)
+KGConstructionPipeline(spark, wh0).run(
+    synth_pages(spark, sf_dir).limit(50), resume=False)
 shutil.rmtree(wh0, ignore_errors=True)
 
 t0 = time.time()
-wh = tempfile.mkdtemp(prefix="scal_")
-pages = synth_pages(spark, sf_dir)
-manifests = KGConstructionPipeline(spark, wh).run(pages, resume=False)
-pipeline_sec = time.time() - t0
-triples = manifests["triples"]["rows"] + manifests["raw_triples"]["rows"]
-shutil.rmtree(wh, ignore_errors=True)
+triples, members = kbo_members(spark, sf_dir)
+ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+results, _ = ex.extract(triples, members, shape=Term(IRI, KBO_SHAPE_IRI))
+extract_quads = results.count()
+extract_sec = time.time() - t0
 
 t1 = time.time()
-df = entrymod.queries()["shape_extract_order"](spark, sf_dir)
-n_quads = df.count()
-extract_sec = time.time() - t1
+wh = tempfile.mkdtemp(prefix="scal_")
+pages = synth_pages(spark, sf_dir, replicate=replicate)
+manifests = KGConstructionPipeline(spark, wh).run(pages, resume=False)
+pipeline_sec = time.time() - t1
+triples_n = manifests["triples"]["rows"] + manifests["raw_triples"]["rows"]
+shutil.rmtree(wh, ignore_errors=True)
 
 print("RESULT " + json.dumps(dict(
-    cpus=cpus, pipeline_sec=round(pipeline_sec, 2), triples=triples,
-    extract_sec=round(extract_sec, 2), extract_quads=n_quads)))
+    cpus=cpus, pipeline_sec=round(pipeline_sec, 2), triples=triples_n,
+    extract_sec=round(extract_sec, 2), extract_quads=extract_quads)))
 spark.stop()
 """
 
@@ -62,7 +83,7 @@ spark.stop()
 def run(cpus: int) -> dict:
     code = RUNNER.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), SF_DIR],
+        [sys.executable, "-c", code, str(cpus), SF_DIR, str(REPLICATE)],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -73,33 +94,36 @@ def run(cpus: int) -> dict:
 
 
 def main():
-    lo = run(8)
-    hi = run(32)
-    tp_lo = lo["triples"] / lo["pipeline_sec"]
-    tp_hi = hi["triples"] / hi["pipeline_sec"]
-    eff_pipeline = (tp_hi / tp_lo) / 4
+    lo = run(LO)
+    hi = run(HI)
+    ratio = HI / LO
     ex_lo = lo["extract_quads"] / lo["extract_sec"]
     ex_hi = hi["extract_quads"] / hi["extract_sec"]
-    eff_extract = (ex_hi / ex_lo) / 4
+    eff_extract = (ex_hi / ex_lo) / ratio
+    tp_lo = lo["triples"] / lo["pipeline_sec"]
+    tp_hi = hi["triples"] / hi["pipeline_sec"]
+    eff_pipeline = (tp_hi / tp_lo) / ratio
 
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
-Same input ({SF_DIR}), same jobs, fresh JVM per level, warm-up run
-excluded from timing. Parallelism levels: local[8] (N) vs local[32]
-(4N) per the driver's two-cluster-size rule.
+Same input ({SF_DIR}, pipeline corpus replicated x{REPLICATE}), same
+jobs, fresh JVM per level, warm-up excluded from timing. Parallelism
+levels: local[{LO}] (N) vs local[{HI}] (4N) per the driver's
+two-cluster-size rule.
 
-| job | local[8] | local[32] | throughput N | throughput 4N | scaling efficiency |
+| job | local[{LO}] | local[{HI}] | throughput N | throughput 4N | scaling efficiency |
 |---|---|---|---|---|---|
+| bulk shape extraction (quads/s) | {lo['extract_sec']}s | {hi['extract_sec']}s | {ex_lo:,.0f}/s | {ex_hi:,.0f}/s | {eff_extract:.2f} |
 | KG pipeline e2e (triples/s) | {lo['pipeline_sec']}s | {hi['pipeline_sec']}s | {tp_lo:,.0f}/s | {tp_hi:,.0f}/s | {eff_pipeline:.2f} |
-| shape extraction (quads/s) | {lo['extract_sec']}s | {hi['extract_sec']}s | {ex_lo:,.0f}/s | {ex_hi:,.0f}/s | {eff_extract:.2f} |
 
-Efficiency = (throughput_4N / throughput_N) / 4. Target >= 0.8
-(BASELINE.json north_rule). Caveat: local mode shares one JVM heap and
-driver; fixpoint rounds have fixed per-wave driver overhead that does
-not parallelize, so these numbers UNDERSTATE multi-executor scaling
-where driver rounds overlap executor work across a real cluster.
+Efficiency = (throughput_4N / throughput_N) / {ratio:.0f}. Target >= 0.8
+(BASELINE.json north_rule). Caveat: local mode shares one JVM heap,
+GC, and driver thread across all cores; fixpoint rounds have fixed
+per-wave driver overhead that does not parallelize, so these numbers
+UNDERSTATE multi-executor scaling on a real cluster where driver
+coordination overlaps executor work and each executor has its own heap.
 
-Raw: {json.dumps(dict(lo=lo, hi=hi))}
+Raw: {json.dumps(dict(lo=lo, hi=hi, replicate=REPLICATE))}
 """
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
