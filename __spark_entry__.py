@@ -44,8 +44,10 @@ from extract_cbd_shape_spark.operators.linking import link_mentions
 from extract_cbd_shape_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
+    lsh_topk,
     sign_lsh_buckets,
 )
+from extract_cbd_shape_spark.streaming.incremental import streaming_page_metrics
 from extract_cbd_shape_spark.functions.multimodal import (
     decode_media,
     frame_sample,
@@ -377,6 +379,27 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(e, q, k=5, centroid_stride=16, nprobe=2)
 
 
+def _q_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return lsh_topk(e, q, k=5, n_planes=8)
+
+
+def _q_page_metrics(spark, sf_dir):
+    """Batch run of the streaming windowed aggregation (same code path
+    as streaming/incremental.streaming_page_metrics, minus watermark
+    state, so the oracle checks the aggregation semantics)."""
+    pages = synth_pages(spark, sf_dir)
+    return (
+        pages.groupBy(F.window("warc_ts", "1 hour").alias("w"), F.col("lang"))
+        .agg(F.count("*").alias("n_pages"), F.sum(F.length("text")).alias("n_chars"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "lang", "n_pages", "n_chars",
+        )
+    )
+
+
 def _q_media_decode(spark, sf_dir):
     return decode_media(synth_media(spark, sf_dir)).select(
         "media_id", "kind", "width", "height", "payload_len", "checksum"
@@ -444,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "lsh_buckets": _q_lsh_buckets,
         "ivf_topk": _q_ivf_topk,
+        "lsh_topk": _q_lsh_topk,
+        "page_metrics_hourly": _q_page_metrics,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
@@ -813,6 +838,44 @@ SELECT vec_id,
 FROM proj GROUP BY vec_id
 """,
         "ivf_topk": _IVF_ORACLE,
+        "lsh_topk": f"""
+WITH proj AS (
+  SELECT vec_id, j,
+         sum(x * (((i * 31 + j * 17) % 7) - 3)) AS p
+  FROM (SELECT vec_id,
+               unnest(list_transform(embedding, y -> y::DOUBLE)) AS x,
+               generate_subscripts(embedding, 1) - 1 AS i
+        FROM embeddings)
+  CROSS JOIN range(0, 8) r(j)
+  GROUP BY vec_id, j
+),
+buck AS (
+  SELECT vec_id,
+         sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id
+),
+scored AS (
+  SELECT bq.vec_id AS query_id, be.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'e.embedding')} AS score
+  FROM buck bq
+  JOIN buck be ON be.bucket = bq.bucket AND be.vec_id <> bq.vec_id
+  JOIN embeddings q ON q.vec_id = bq.vec_id
+  JOIN embeddings e ON e.vec_id = be.vec_id
+  WHERE bq.vec_id < 8
+)
+SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+WHERE rank <= 5
+""",
+        "page_metrics_hourly": """
+SELECT strftime(date_trunc('hour',
+           TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL '1 second'),
+           '%Y-%m-%d %H:%M') AS window_start,
+       lang, count(*) AS n_pages, sum(length(text)) AS n_chars
+FROM documents GROUP BY 1, 2
+""",
         "media_decode": f"""
 WITH {_MEDIA_CTE.strip()}
 SELECT media_id, kind, width, height,
