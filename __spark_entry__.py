@@ -59,7 +59,6 @@ from extract_cbd_shape_spark.functions.text import (
     LANG_STOPWORDS,
     lang_id_column,
     quality_columns,
-    shingles,
     tokens,
 )
 from extract_cbd_shape_spark.rdf import parse_trig
@@ -319,11 +318,15 @@ def _q_quality(spark, sf_dir):
 
 
 def _q_fingerprint(spark, sf_dir):
+    # relational shingling (posexplode + lead) — see dedup.shingle_rows;
+    # fingerprint = min md5 over the doc's 5-gram shingles
+    from extract_cbd_shape_spark.operators.dedup import shingle_rows
+
     d = _t(spark, sf_dir, "documents")
-    sh = shingles(tokens(F.col("text")), 5)
-    fp = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return d.select("doc_id", fp.alias("fingerprint")).filter(
-        F.col("fingerprint").isNotNull()
+    return (
+        shingle_rows(d, k=5)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
     )
 
 

@@ -20,7 +20,7 @@ from typing import List
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from extract_cbd_shape_spark.functions.text import shingles, tokens
+from extract_cbd_shape_spark.functions.text import tokens
 
 N_PERM = 12
 BAND_SIZE = 3
@@ -41,15 +41,52 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as 1-2 partitions (a parquet row group
+    is unsplittable); fan out before per-row compute so tokenize/md5
+    use every core. At real scale inputs arrive pre-partitioned and
+    this repartition collapses into the source shuffle."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, pos, shingle) built relationally: posexplode the token
+    array, then window lead() to stitch k consecutive tokens.
+
+    Why not the array-HOF `shingles()` column function here: Catalyst
+    collapses projections, inlining tokens(text) into the transform's
+    per-element element_at calls, and higher-order functions evaluate
+    interpreted — re-tokenizing per element, O(n^2) per document
+    (measured 10x slower on the corpus bench). posexplode evaluates the
+    token array once per row and the window runs in whole-stage
+    codegen; the doc_id window shuffle doubles as the fan-out for
+    single-row-group inputs."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    return (
+        tok.select(
+            "doc_id", "pos",
+            *[p.alias(f"_p{j}") for j, p in enumerate(parts)],
+        )
+        .filter(F.col(f"_p{k - 1}").isNotNull())
+        .select(
+            "doc_id", "pos",
+            F.concat_ws(" ", *[F.col(f"_p{j}") for j in range(k)]).alias("shingle"),
+        )
+    )
+
+
 def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", k: int = 3) -> DataFrame:
     """Distinct (doc, shingle) pairs; docs shorter than k tokens drop out."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    shingles(tokens(F.col(text_col)), k).alias("_sh"))
-        .select("doc_id", F.explode("_sh").alias("shingle"))
-        .distinct()
-    )
+    return shingle_rows(docs, id_col, text_col, k).select(
+        "doc_id", "shingle"
+    ).distinct()
 
 
 def minhash_signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
@@ -132,7 +169,8 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     """(doc_id, simhash) — bit i votes with the high bit of md5 hex
     nibble i across the doc's distinct tokens."""
     toks = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t"))
+        _spread(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t"))
         .select("doc_id", F.explode("_t").alias("tok"))
         .distinct()
         .withColumn("h", F.md5(F.col("tok")))

@@ -32,8 +32,12 @@ def _quad(sub, sk, pred, ov, ok, dt=None):
 
 
 def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    par = spark.sparkContext.defaultParallelism
+    # small single-row-group parquet reads as 1 partition; fan out so
+    # triple synthesis parallelizes (collapses into the source shuffle
+    # on a pre-partitioned production table)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(par)
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(par)
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
 
@@ -99,7 +103,11 @@ KBO_SHAPE_IRI = "http://example.org/bench/LegalEntityShape"
 def kbo_members(spark: SparkSession, sf_dir: str,
                 named_graphs: bool = False):
     """(triples_df, members_df): one ~13-quad member per orders row."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     m = F.concat(F.lit("m:"), F.col("o_orderkey"))
     addr = F.concat(F.lit("a:"), F.col("o_orderkey"))
     if named_graphs:

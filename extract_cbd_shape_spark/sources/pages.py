@@ -46,7 +46,12 @@ def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFra
     ``replicate`` unions K deterministic copies with disjoint doc_id
     ranges (distinct urls/subjects) — used by the scaling bench to size
     the corpus so executor work dominates per-job overhead."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # A small parquet file reads as 1 partition (row groups are
+    # unsplittable); fan out so html synthesis and downstream
+    # mapInPandas parsing use every core.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     if replicate > 1:
         base = docs
         for i in range(1, replicate):

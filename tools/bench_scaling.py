@@ -73,9 +73,25 @@ pipeline_sec = time.time() - t1
 triples_n = manifests["triples"]["rows"] + manifests["raw_triples"]["rows"]
 shutil.rmtree(wh, ignore_errors=True)
 
+# MinHash-LSH dedup over the replicated corpus (CPU-bound md5/shuffle).
+from extract_cbd_shape_spark.operators.dedup import minhash_lsh_dups
+from pyspark.sql import functions as F
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+corpus = docs
+for i in range(1, replicate):
+    corpus = corpus.unionByName(
+        docs.select((F.col("doc_id") + i * 10_000_000).alias("doc_id"), "text"))
+minhash_lsh_dups(corpus.limit(200), threshold=0.5).count()  # warm
+t2 = time.time()
+minhash_pairs = minhash_lsh_dups(corpus, threshold=0.5).count()
+minhash_docs = replicate * docs.count()
+minhash_sec = time.time() - t2
+
 print("RESULT " + json.dumps(dict(
     cpus=cpus, pipeline_sec=round(pipeline_sec, 2), triples=triples_n,
-    extract_sec=round(extract_sec, 2), extract_quads=extract_quads)))
+    extract_sec=round(extract_sec, 2), extract_quads=extract_quads,
+    minhash_sec=round(minhash_sec, 2), minhash_docs=minhash_docs,
+    minhash_pairs=minhash_pairs)))
 spark.stop()
 """
 
@@ -103,6 +119,9 @@ def main():
     tp_lo = lo["triples"] / lo["pipeline_sec"]
     tp_hi = hi["triples"] / hi["pipeline_sec"]
     eff_pipeline = (tp_hi / tp_lo) / ratio
+    mh_lo = lo["minhash_docs"] / lo["minhash_sec"]
+    mh_hi = hi["minhash_docs"] / hi["minhash_sec"]
+    eff_minhash = (mh_hi / mh_lo) / ratio
 
     md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
 
@@ -115,6 +134,7 @@ two-cluster-size rule.
 |---|---|---|---|---|---|
 | bulk shape extraction (quads/s) | {lo['extract_sec']}s | {hi['extract_sec']}s | {ex_lo:,.0f}/s | {ex_hi:,.0f}/s | {eff_extract:.2f} |
 | KG pipeline e2e (triples/s) | {lo['pipeline_sec']}s | {hi['pipeline_sec']}s | {tp_lo:,.0f}/s | {tp_hi:,.0f}/s | {eff_pipeline:.2f} |
+| MinHash-LSH dedup (docs/s) | {lo['minhash_sec']}s | {hi['minhash_sec']}s | {mh_lo:,.0f}/s | {mh_hi:,.0f}/s | {eff_minhash:.2f} |
 
 Efficiency = (throughput_4N / throughput_N) / {ratio:.0f}. Target >= 0.8
 (BASELINE.json north_rule). Caveat: local mode shares one JVM heap,
