@@ -151,6 +151,21 @@ def _q_kbo_bulk_extract(spark, sf_dir):
     return results.select("entity", "subject", "predicate", "object_value")
 
 
+def _q_kbo_bulk_extract_local(spark, sf_dir):
+    """Same extraction as kbo_bulk_extract through the store-local fast
+    path (one shuffle by store, per-store applyInPandas) — the physical
+    strategy for store-partitioned corpora; same oracle."""
+    from extract_cbd_shape_spark.operators.local_extract import local_bulk_extract
+
+    triples, members = kbo_members(spark, sf_dir)
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
+    m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    return local_bulk_extract(
+        t2, m2, shapes_graph=shapes, shape=Term(IRI, KBO_SHAPE_IRI)
+    ).select("entity", "subject", "predicate", "object_value")
+
+
 def _q_path_closure(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -451,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cbd_blank_closure": _q_cbd_blank_closure,
         "shape_extract_order": _q_shape_extract_order,
         "kbo_bulk_extract": _q_kbo_bulk_extract,
+        "kbo_bulk_extract_local": _q_kbo_bulk_extract_local,
         "path_closure": _q_path_closure,
         "q1_pricing": _q_q1_pricing,
         "q3_revenue": _q_q3_revenue,
@@ -636,6 +652,28 @@ def oracle_sql() -> dict[str, str]:
         "cbd_blank_closure": _CBD_ORACLE,
         "shape_extract_order": _SHAPE_ORACLE,
         "kbo_bulk_extract": """
+WITH m AS (SELECT o_orderkey AS k FROM orders)
+SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
+  SELECT k, 'm:'||k AS subject, 'rdf:type' AS predicate,
+         'kbo:legalEntity' AS object_value FROM m
+  UNION ALL SELECT k, 'm:'||k, 'rdf:type', 'kbo:Enterprise' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:isVersionOf', 'v:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyStatus',
+            'kbo:JuridicalSituation_000' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyType',
+            'kbo:JuridicalForm_014' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:legalName', 'Company '||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:registeredAddress', 'a:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||(k % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 7) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 13) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:establishment', 'e:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:status', 'kbo:Status_AC' FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:fullAddress', 'Street '||k FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:postCode', (k % 9999)::VARCHAR FROM m
+)
+""",
+        "kbo_bulk_extract_local": """
 WITH m AS (SELECT o_orderkey AS k FROM orders)
 SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
   SELECT k, 'm:'||k AS subject, 'rdf:type' AS predicate,

@@ -60,6 +60,7 @@ def run_suite(spark, sf_dir: str) -> dict:
     q = entrymod.queries()
     headline = [
         "kbo_bulk_extract",      # engine: bulk member extraction (flagship)
+        "kbo_bulk_extract_local",  # store-local fast path (applyInPandas)
         "shape_extract_order",   # engine: CBD + blank closure + nodeLinks
         "path_closure",          # iterative transitive closure
         "minhash_lsh_dups",      # shingle -> minhash -> LSH -> verify

@@ -65,6 +65,19 @@ results, _ = ex.extract(triples, members, shape=Term(IRI, KBO_SHAPE_IRI))
 extract_quads = results.count()
 extract_sec = time.time() - t0
 
+# Store-local fast path: same extraction, applyInPandas per store.
+from extract_cbd_shape_spark.operators.local_extract import local_bulk_extract
+from pyspark.sql import functions as F
+t2_, m2_ = kbo_members(spark, sf_dir)
+tl = t2_.withColumn("store_key", F.split(F.col("subject"), ":")[1])
+ml = m2_.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+local_bulk_extract(tl.limit(500), ml.limit(50), shapes_graph=shapes,
+                   shape=Term(IRI, KBO_SHAPE_IRI)).count()  # warm
+tloc = time.time()
+local_quads = local_bulk_extract(
+    tl, ml, shapes_graph=shapes, shape=Term(IRI, KBO_SHAPE_IRI)).count()
+local_sec = time.time() - tloc
+
 t1 = time.time()
 wh = tempfile.mkdtemp(prefix="scal_")
 pages = synth_pages(spark, sf_dir, replicate=replicate)
@@ -76,20 +89,30 @@ shutil.rmtree(wh, ignore_errors=True)
 # MinHash-LSH dedup over the replicated corpus (CPU-bound md5/shuffle).
 from extract_cbd_shape_spark.operators.dedup import minhash_lsh_dups
 from pyspark.sql import functions as F
-docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-corpus = docs
-for i in range(1, replicate):
-    corpus = corpus.unionByName(
-        docs.select((F.col("doc_id") + i * 10_000_000).alias("doc_id"), "text"))
+# Each copy gets a distinguishing prefix token (so copies are NOT
+# cross-copy duplicates) plus one exact duplicate within the copy —
+# candidate pairs stay linear in corpus size, as in a real corpus.
+docs = spark.read.parquet(sf_dir + "/documents.parquet").select("doc_id", "text")
+parts = []
+for i in range(replicate):
+    di = docs.select(
+        (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+        F.concat(F.lit("c%d " % i), F.col("text")).alias("text"))
+    parts.append(di)
+    parts.append(di.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+corpus = parts[0]
+for p_ in parts[1:]:
+    corpus = corpus.unionByName(p_)
 minhash_lsh_dups(corpus.limit(200), threshold=0.5).count()  # warm
 t2 = time.time()
 minhash_pairs = minhash_lsh_dups(corpus, threshold=0.5).count()
-minhash_docs = replicate * docs.count()
+minhash_docs = 2 * replicate * docs.count()
 minhash_sec = time.time() - t2
 
 print("RESULT " + json.dumps(dict(
     cpus=cpus, pipeline_sec=round(pipeline_sec, 2), triples=triples_n,
     extract_sec=round(extract_sec, 2), extract_quads=extract_quads,
+    local_sec=round(local_sec, 2), local_quads=local_quads,
     minhash_sec=round(minhash_sec, 2), minhash_docs=minhash_docs,
     minhash_pairs=minhash_pairs)))
 spark.stop()
@@ -119,6 +142,9 @@ def main():
     tp_lo = lo["triples"] / lo["pipeline_sec"]
     tp_hi = hi["triples"] / hi["pipeline_sec"]
     eff_pipeline = (tp_hi / tp_lo) / ratio
+    lx_lo = lo["local_quads"] / lo["local_sec"]
+    lx_hi = hi["local_quads"] / hi["local_sec"]
+    eff_local = (lx_hi / lx_lo) / ratio
     mh_lo = lo["minhash_docs"] / lo["minhash_sec"]
     mh_hi = hi["minhash_docs"] / hi["minhash_sec"]
     eff_minhash = (mh_hi / mh_lo) / ratio
@@ -133,6 +159,7 @@ two-cluster-size rule.
 | job | local[{LO}] | local[{HI}] | throughput N | throughput 4N | scaling efficiency |
 |---|---|---|---|---|---|
 | bulk shape extraction (quads/s) | {lo['extract_sec']}s | {hi['extract_sec']}s | {ex_lo:,.0f}/s | {ex_hi:,.0f}/s | {eff_extract:.2f} |
+| store-local extraction (quads/s) | {lo['local_sec']}s | {hi['local_sec']}s | {lx_lo:,.0f}/s | {lx_hi:,.0f}/s | {eff_local:.2f} |
 | KG pipeline e2e (triples/s) | {lo['pipeline_sec']}s | {hi['pipeline_sec']}s | {tp_lo:,.0f}/s | {tp_hi:,.0f}/s | {eff_pipeline:.2f} |
 | MinHash-LSH dedup (docs/s) | {lo['minhash_sec']}s | {hi['minhash_sec']}s | {mh_lo:,.0f}/s | {mh_hi:,.0f}/s | {eff_minhash:.2f} |
 
