@@ -305,6 +305,15 @@ def local_bulk_extract(
     if "entity_kind" not in members.columns:
         members = members.withColumn(
             "entity_kind", F.lit(IRI).cast("tinyint"))
+    # Re-alias to fresh attributes: when ``members`` derives from
+    # ``triples`` (the common subjects-of-the-corpus case), cogroup
+    # dedups shared attribute ids and silently DROPS the duplicated
+    # column from the right-side pandas frame.
+    members = members.select(
+        F.col(store_col).alias("_m_store"),
+        F.col("entity").alias("_m_entity"),
+        F.col("entity_kind").alias("_m_kind"),
+    )
     spark = triples.sparkSession
     nb = n_buckets or spark.sparkContext.defaultParallelism * 4
     shapes_local = shapes_graph
@@ -317,7 +326,7 @@ def local_bulk_extract(
         "_bucket", F.pmod(F.xxhash64(F.col(store_col)), F.lit(nb)).cast("int")
     )
     mb = members.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(store_col)), F.lit(nb)).cast("int")
+        "_bucket", F.pmod(F.xxhash64(F.col("_m_store")), F.lit(nb)).cast("int")
     )
 
     def run(key, tpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
@@ -325,8 +334,8 @@ def local_bulk_extract(
             return pd.DataFrame(columns=cols)
         out_rows: List[tuple] = []
         member_groups = {
-            k: [(int(ek), ev) for ek, ev in zip(g["entity_kind"], g["entity"])]
-            for k, g in mpdf.groupby(store_col, sort=False)
+            k: [(int(ek), ev) for ek, ev in zip(g["_m_kind"], g["_m_entity"])]
+            for k, g in mpdf.groupby("_m_store", sort=False)
         }
         lang = tpdf["object_lang"].to_numpy()
         dt = tpdf["object_datatype"].to_numpy()

@@ -40,12 +40,14 @@ class KGConstructionPipeline:
         shapes_graph: Optional[ShapesGraph] = None,
         shape: Optional[Term] = None,
         dict_size: int = 20,
+        local_extraction: bool = True,
     ):
         self.spark = spark
         self.warehouse = warehouse
         self.shapes_graph = shapes_graph
         self.shape = shape
         self.dict_size = dict_size
+        self.local_extraction = local_extraction
 
     def _table(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
@@ -77,16 +79,36 @@ class KGConstructionPipeline:
             )
         raw = read_latest_snapshot(spark, self._table("raw_triples"))
 
-        # Stage 2 — per-entity CBD/shape extraction (bulk engine).
+        # Stage 2 — per-entity CBD/shape extraction. Page triples are
+        # store-partitioned by construction (each page's subjects live in
+        # that page), so the store-local fast path applies: one shuffle
+        # by page, per-page extraction, no driver fixpoint rounds.
+        # Cross-page graphs would set local_extraction=False and take the
+        # global bulk engine instead.
         if not (resume and self._stage_done("entity_triples", "extract_entities")):
             # Seeds stay distributed: a DataFrame of distinct subjects
             # (collecting 10^12-scale subject lists to the driver is the
             # one thing this pipeline must never do).
-            subjects = raw.select(F.col("subject").alias("entity")).distinct()
-            ex = BulkCBDShapeExtractor(spark, shapes_graph=self.shapes_graph)
-            results, flags = ex.extract(
-                raw.drop("page_url", "bucket"), subjects, shape=self.shape, bulk=True
-            )
+            if self.local_extraction:
+                from extract_cbd_shape_spark.operators.local_extract import (
+                    local_bulk_extract,
+                )
+
+                t2 = raw.drop("bucket").withColumnRenamed("page_url", "store_key")
+                subjects = t2.select(
+                    "store_key", F.col("subject").alias("entity")
+                ).distinct()
+                results = local_bulk_extract(
+                    t2, subjects, shapes_graph=self.shapes_graph,
+                    shape=self.shape,
+                )
+            else:
+                subjects = raw.select(F.col("subject").alias("entity")).distinct()
+                ex = BulkCBDShapeExtractor(spark, shapes_graph=self.shapes_graph)
+                results, flags = ex.extract(
+                    raw.drop("page_url", "bucket"), subjects,
+                    shape=self.shape, bulk=True,
+                )
             entity_triples = results.select(
                 "entity", "subject", "subject_kind", "predicate",
                 "object_value", "object_kind", "object_lang",
