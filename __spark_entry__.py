@@ -574,8 +574,14 @@ _MINHASH_CTES = f"""
 toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
 shd AS (SELECT DISTINCT doc_id, s
         FROM (SELECT doc_id, unnest({_SH3}) AS s FROM toks)),
-sig AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS minhash
-        FROM shd CROSS JOIN range(0, 12) r(j) GROUP BY doc_id, j),
+hs AS (SELECT doc_id,
+              (list_sum(list_transform(range(1, 14),
+                  i -> (strpos('0123456789abcdef', substr(md5(s), i::INT, 1)) - 1)
+                       * 16 ** (13 - i)))::BIGINT % 2147483647) AS h
+       FROM shd),
+sig AS (SELECT doc_id, j,
+               min(((2 * j + 1) * h + 7919 * j) % 2147483647) AS minhash
+        FROM hs CROSS JOIN range(0, 12) r(j) GROUP BY doc_id, j),
 band AS (SELECT doc_id, j - (j % 3) AS band,
                 md5(string_agg(j::VARCHAR || '=' || minhash, ''
                     ORDER BY j::VARCHAR || '=' || minhash)) AS band_hash

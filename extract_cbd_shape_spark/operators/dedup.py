@@ -60,9 +60,13 @@ def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
     interpreted — re-tokenizing per element, O(n^2) per document
     (measured 10x slower on the corpus bench). posexplode evaluates the
     token array once per row and the window runs in whole-stage
-    codegen; the doc_id window shuffle doubles as the fan-out for
-    single-row-group inputs."""
-    tok = docs.select(
+    codegen.
+
+    The explicit fan-out BEFORE posexplode matters: tokenization runs
+    map-side in the scan stage, and a compact parquet input reads as
+    1-2 partitions — without the repartition the expensive tokenize
+    would serialize regardless of cluster size."""
+    tok = _spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
@@ -89,15 +93,29 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
     ).distinct()
 
 
+MINHASH_MOD = 2147483647  # 2^31 - 1; a*(H%M)+b stays < 2^62 (exact in both engines)
+
+
 def minhash_signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
-    """(doc_id, j, minhash) — min over md5(j || ':' || shingle) strings.
-    One exploded shuffle with map-side partial min."""
+    """(doc_id, j, minhash) — universal-hash MinHash: each shingle is
+    md5-hashed ONCE (the expensive step), then the j-th permutation is
+    h_j = ((2j+1) * (H % M) + 7919j) % M over H = the md5's first 13 hex
+    digits (52 bits, exact in BIGINT and DOUBLE — mirrors bit-for-bit in
+    the DuckDB oracle). Hashing per (shingle, permutation) — the naive
+    formulation — costs n_perm times more md5 work and dominated the
+    whole dedup pipeline."""
+    base = sh.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5(F.col("shingle")), 1, 13), 16, 10)
+         .cast("bigint") % MINHASH_MOD).alias("_h"),
+    )
     perms = F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("j")
     return (
-        sh.select("doc_id", "shingle", perms)
+        base.select("doc_id", "_h", perms)
         .select(
             "doc_id", "j",
-            F.md5(F.concat_ws(":", F.col("j"), F.col("shingle"))).alias("h"),
+            (((2 * F.col("j") + 1) * F.col("_h") + 7919 * F.col("j"))
+             % MINHASH_MOD).alias("h"),
         )
         .groupBy("doc_id", "j")
         .agg(F.min("h").alias("minhash"))

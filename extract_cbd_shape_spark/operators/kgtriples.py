@@ -101,13 +101,23 @@ KBO_SHAPE_IRI = "http://example.org/bench/LegalEntityShape"
 
 
 def kbo_members(spark: SparkSession, sf_dir: str,
-                named_graphs: bool = False):
-    """(triples_df, members_df): one ~13-quad member per orders row."""
+                named_graphs: bool = False, replicate: int = 1):
+    """(triples_df, members_df): one ~13-quad member per orders row.
+    ``replicate`` unions K disjoint copies (orderkey offset by 10M per
+    copy) — used by the scaling bench to size the corpus."""
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select("o_orderkey")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    if replicate > 1:
+        base = orders
+        for i in range(1, replicate):
+            orders = orders.unionByName(
+                base.select(
+                    (F.col("o_orderkey") + i * 10_000_000).alias("o_orderkey")
+                )
+            )
     m = F.concat(F.lit("m:"), F.col("o_orderkey"))
     addr = F.concat(F.lit("a:"), F.col("o_orderkey"))
     if named_graphs:

@@ -55,14 +55,15 @@ def materialize_table(
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(bucket_by)), F.lit(n_buckets)).cast("int")
         )
-    observed = out.observe(
-        f"mat_{stage}_{snap_id}", F.count(F.lit(1)).alias("rows")
-    )
-    writer = observed.write.mode("overwrite")
+    writer = out.write.mode("overwrite")
     if bucket_by is not None:
         writer = writer.partitionBy("bucket")
     writer.parquet(snap_dir + "/data")
 
+    # One cheap metadata pass: per-bucket counts come from a scan of the
+    # written files' partition column only (no data columns read); total
+    # rows = their sum. The old read-back count + groupBy + observe did
+    # three passes per stage.
     spark = df.sparkSession
     data_df = spark.read.parquet(snap_dir + "/data")
     per_partition = []
@@ -71,11 +72,14 @@ def materialize_table(
             {"bucket": r["bucket"], "rows": r["n"]}
             for r in data_df.groupBy("bucket").agg(F.count("*").alias("n")).collect()
         ]
+        rows = sum(p["rows"] for p in per_partition)
+    else:
+        rows = data_df.count()
     manifest = {
         "snapshot": snap_id,
         "parent": snap_id - 1 if snap_id > 0 else None,
         "stage": stage,
-        "rows": data_df.count(),
+        "rows": rows,
         "bucket_by": bucket_by,
         "n_buckets": n_buckets if bucket_by else None,
         "partitions": per_partition,
