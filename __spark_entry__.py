@@ -92,14 +92,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _order_seeds(spark, sf_dir, modulo=100):
-    keys = [
-        r.o_orderkey
-        for r in _t(spark, sf_dir, "orders")
+    """Seed members as a DataFrame — the scale path: no driver-side
+    collect; the engine joins the seed set against the store directly
+    (VERDICT r1 §What's-wrong 2)."""
+    return (
+        _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % modulo == 0)
-        .select("o_orderkey")
-        .collect()
-    ]
-    return [Term(IRI, f"o:{k}") for k in sorted(keys)]
+        .select(
+            F.concat(F.lit("o:"), F.col("o_orderkey")).alias("entity"),
+            F.lit(IRI).cast("tinyint").alias("entity_kind"),
+            F.col("o_orderkey").cast("long").alias("input_idx"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -570,6 +574,16 @@ _SH5 = ("CASE WHEN len(t) >= 5 THEN list_transform(range(1, len(t)-3), "
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) "
         "ELSE [] END")
 
+def _minhash_perm_values() -> str:
+    from extract_cbd_shape_spark.operators.dedup import minhash_perm_coeffs
+
+    a, b = minhash_perm_coeffs()
+    return ", ".join(
+        f"({j}, {aj}::BIGINT, {bj}::BIGINT)"
+        for j, (aj, bj) in enumerate(zip(a, b))
+    )
+
+
 _MINHASH_CTES = f"""
 toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
 shd AS (SELECT DISTINCT doc_id, s
@@ -579,9 +593,10 @@ hs AS (SELECT doc_id,
                   i -> (strpos('0123456789abcdef', substr(md5(s), i::INT, 1)) - 1)
                        * 16 ** (13 - i)))::BIGINT % 2147483647) AS h
        FROM shd),
+perm(j, a, b) AS (VALUES {_minhash_perm_values()}),
 sig AS (SELECT doc_id, j,
-               min(((2 * j + 1) * h + 7919 * j) % 2147483647) AS minhash
-        FROM hs CROSS JOIN range(0, 12) r(j) GROUP BY doc_id, j),
+               min((a * h + b) % 2147483647) AS minhash
+        FROM hs CROSS JOIN perm GROUP BY doc_id, j),
 band AS (SELECT doc_id, j - (j % 3) AS band,
                 md5(string_agg(j::VARCHAR || '=' || minhash, ''
                     ORDER BY j::VARCHAR || '=' || minhash)) AS band_hash
@@ -754,7 +769,8 @@ FROM events GROUP BY 1, 2
 """,
         "events_sessions": """
 SELECT user_id,
-       sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END) + 1 AS n_sessions,
+       (sum(CASE WHEN gap > 1800 * 1000000 THEN 1 ELSE 0 END) + 1)::BIGINT
+           AS n_sessions,
        count(*) AS n_events
 FROM (
   SELECT user_id,
@@ -784,9 +800,15 @@ toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
 shd AS (SELECT DISTINCT doc_id, s
         FROM (SELECT doc_id, unnest({_SH3}) AS s FROM toks)),
 sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
+rare AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 64),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM shd a JOIN rare r ON a.s = r.s
+         JOIN shd b ON b.s = a.s AND a.doc_id < b.doc_id),
+pairs AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+          FROM cand c
+          JOIN shd x ON x.doc_id = c.doc_a
+          JOIN shd y ON y.doc_id = c.doc_b AND y.s = x.s
+          GROUP BY c.doc_a, c.doc_b)
 SELECT p.doc_a, p.doc_b,
        round(p.i * 1.0 / (na.n + nb.n - p.i), 4) AS jaccard
 FROM pairs p
@@ -920,7 +942,7 @@ WHERE rank <= 5
 SELECT strftime(date_trunc('hour',
            TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL '1 second'),
            '%Y-%m-%d %H:%M') AS window_start,
-       lang, count(*) AS n_pages, sum(length(text)) AS n_chars
+       lang, count(*) AS n_pages, sum(length(text))::BIGINT AS n_chars
 FROM documents GROUP BY 1, 2
 """,
         "media_decode": f"""

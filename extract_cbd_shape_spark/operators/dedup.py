@@ -44,9 +44,14 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
 def _spread(docs: DataFrame) -> DataFrame:
     """Small-file inputs arrive as 1-2 partitions (a parquet row group
     is unsplittable); fan out before per-row compute so tokenize/md5
-    use every core. At real scale inputs arrive pre-partitioned and
-    this repartition collapses into the source shuffle."""
-    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    use every core. Only repartitions when the scan is under-parallel —
+    Catalyst never elides a user Repartition node, so on pre-partitioned
+    production inputs an unconditional repartition would add a full
+    extra shuffle of the text corpus."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= par:
+        return docs
+    return docs.repartition(par)
 
 
 def shingle_rows(docs: DataFrame, id_col: str = "doc_id",
@@ -95,15 +100,42 @@ def shingle_sets(docs: DataFrame, id_col: str = "doc_id",
 
 MINHASH_MOD = 2147483647  # 2^31 - 1; a*(H%M)+b stays < 2^62 (exact in both engines)
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mixer (public splitmix64 constants) — used
+    only on the DRIVER to derive permutation coefficients."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    z = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def minhash_perm_coeffs(n_perm: int = N_PERM):
+    """Per-permutation (a_j, b_j) for h_j = (a_j*(H%M) + b_j) % M.
+    Derived pseudo-randomly per j via splitmix64 so the family is
+    approximately pairwise independent (tiny structured multipliers like
+    a=2j+1 make the signature rows strongly correlated and bias the
+    Jaccard estimate); a_j != 0, both < M, deterministic on both the
+    Spark and DuckDB oracle side."""
+    a = [(_splitmix64(2 * j) % (MINHASH_MOD - 1)) + 1 for j in range(n_perm)]
+    b = [_splitmix64(2 * j + 1) % MINHASH_MOD for j in range(n_perm)]
+    return a, b
+
 
 def minhash_signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """(doc_id, j, minhash) — universal-hash MinHash: each shingle is
     md5-hashed ONCE (the expensive step), then the j-th permutation is
-    h_j = ((2j+1) * (H % M) + 7919j) % M over H = the md5's first 13 hex
+    h_j = (a_j * (H % M) + b_j) % M over H = the md5's first 13 hex
     digits (52 bits, exact in BIGINT and DOUBLE — mirrors bit-for-bit in
-    the DuckDB oracle). Hashing per (shingle, permutation) — the naive
+    the DuckDB oracle) with splitmix64-derived coefficients (see
+    minhash_perm_coeffs). Hashing per (shingle, permutation) — the naive
     formulation — costs n_perm times more md5 work and dominated the
     whole dedup pipeline."""
+    a_c, b_c = minhash_perm_coeffs(n_perm)
+    a_arr = F.array(*[F.lit(x).cast("bigint") for x in a_c])
+    b_arr = F.array(*[F.lit(x).cast("bigint") for x in b_c])
     base = sh.select(
         "doc_id",
         (F.conv(F.substring(F.md5(F.col("shingle")), 1, 13), 16, 10)
@@ -114,7 +146,8 @@ def minhash_signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
         base.select("doc_id", "_h", perms)
         .select(
             "doc_id", "j",
-            (((2 * F.col("j") + 1) * F.col("_h") + 7919 * F.col("j"))
+            ((F.element_at(a_arr, F.col("j") + 1) * F.col("_h")
+              + F.element_at(b_arr, F.col("j") + 1))
              % MINHASH_MOD).alias("h"),
         )
         .groupBy("doc_id", "j")
@@ -209,26 +242,35 @@ def simhash(docs: DataFrame, id_col: str = "doc_id",
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+NGRAM_DF_CAP = 64
+
+
 def ngram_jaccard_dups(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard; blocking = shared shingle.
-    At scale, prefer minhash_lsh_dups — this is the exact baseline."""
+                       text_col: str = "text", threshold: float = 0.5,
+                       df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard.
+
+    Blocking = shared RARE shingle: shingles with document frequency
+    > ``df_cap`` are dropped from the candidate-generating self-join
+    (one hot 3-gram would otherwise produce a quadratic pair blowup —
+    the standard prefix/rare-token filter), but KEPT in the
+    verification sets, so Jaccard values are exact. Pairs that share
+    only hot shingles are below any useful threshold anyway; prefer
+    minhash_lsh_dups at scale — this is the exact baseline."""
     sh = shingle_sets(docs, id_col, text_col).persist()
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= df_cap)
+        .select("shingle")
+    )
+    blk = sh.join(rare, "shingle")
+    a = blk.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = blk.select(F.col("doc_id").alias("doc_b"), "shingle")
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    return jaccard_verify(pairs, sh, threshold)

@@ -383,8 +383,18 @@ class _Run:
     def _checkpoint_trie(self) -> None:
         # persist, not localCheckpoint: stays lazy (no job when the trie
         # is never consumed again — e.g. final round of a simple shape);
-        # parents are checkpointed so lineage stays shallow.
-        self.trie_parts = [self._trie_df().distinct().persist()]
+        # parents are checkpointed so lineage stays shallow. Cached
+        # tries must not accumulate over deep/recursive shapes: each
+        # round unpersists the trie from TWO rounds ago — by then the
+        # intermediate round's trie has been materialized by its gate
+        # joins, so no lazy consumer still needs the dropped cache.
+        new = self._trie_df().distinct().persist()
+        self.trie_parts = [new]
+        pending = getattr(self, "_trie_persisted", [])
+        pending.append(new)
+        if len(pending) > 2:
+            pending.pop(0).unpersist(blocking=False)
+        self._trie_persisted = pending
 
     @staticmethod
     def _empty(df: DataFrame) -> bool:
@@ -400,9 +410,42 @@ class _Run:
         # extractedStar memo (lib/CBDShapeExtractor.ts:472-508 guard):
         # a node whose star was already emitted for this member is not
         # re-extracted in a later nodeLink round.
-        frontier = work.select(
+        base = work.select(
             "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
-        ).join(self.visited_cbd, ["member_id", "node", "node_kind"], "left_anti")
+        )
+        frontier = base.join(
+            self.visited_cbd, ["member_id", "node", "node_kind"], "left_anti"
+        )
+        # Memo-skipped nodes: the reference re-runs the star there
+        # (extractRecursively always calls CBD; only the BLANK recursion
+        # is guarded, lib/CBDShapeExtractor.ts:389-391,501-505), so the
+        # topology words at the NEW position must still be recorded even
+        # though the re-emitted quads would just dedup away. One lazy
+        # one-hop join; empty whenever nothing was skipped (round 1).
+        skipped = base.join(
+            self.visited_cbd, ["member_id", "node", "node_kind"], "left_semi"
+        )
+        sk = skipped.alias("f").join(
+            self.triples.alias("t"),
+            (F.col("f.node") == F.col("t.subject"))
+            & (F.col("f.node_kind") == F.col("t.subject_kind")),
+            "inner",
+        )
+        if self.ex.cbd_default_graph:
+            sk = sk.filter(F.col("t.graph").isNull())
+        sk = self._graph_filter(
+            sk.select(
+                "f.member_id", "f.entity", "f.pos",
+                *[f"t.{c}" for c in QUAD_COLS],
+                "t.graph_is_member",
+            )
+        )
+        self.trie_parts.append(
+            sk.select(
+                "member_id",
+                _sql_extend_word(F.col("pos"), "+", F.col("predicate")).alias("word"),
+            ).distinct()
+        )
         self.visited_cbd = (
             self.visited_cbd.unionByName(
                 frontier.select("member_id", "node", "node_kind")
@@ -614,7 +657,7 @@ class _Run:
                     Window.partitionBy(
                         "member_id", mroot, "node", "node_kind",
                         "node_lang", "node_datatype"
-                    ).orderBy(F.col("pos"), F.xxhash64(F.to_json("path_quads")))
+                    ).orderBy(F.col("pos"), F.xxhash64("path_quads"))
                 ),
             ).localCheckpoint()
             dupes = fresh.filter(F.col("_rn") > 1).drop("_rn")

@@ -113,19 +113,35 @@ class _MemberRun:
     # ----------------- CBD (lib/CBDShapeExtractor.ts:472-508) -----------------
 
     def cbd(self, node: tuple, pos: str) -> None:
+        # Explicit iterator stack (recursion-eliminated but identical
+        # pre-order + visited marks): a blank-node chain deeper than
+        # CPython's frame limit must not kill the executor.
         if node in self.visited_cbd:
             return
         self.visited_cbd.add(node)
-        for q in self.store.by_subject.get(node, ()):
-            if self.cbd_default_graph and q[_G] is not None:
-                continue
-            if not self._graph_ok(q):
-                continue
-            self.result.add(q)
-            word = extend_word(pos, q[_P], False)
-            self.words.add(word)
-            if q[_OK] == BLANK:
-                self.cbd((BLANK, q[_OV]), word)
+        stack = [(pos, iter(self.store.by_subject.get(node, ())))]
+        while stack:
+            pos, it = stack[-1]
+            descended = False
+            for q in it:
+                if self.cbd_default_graph and q[_G] is not None:
+                    continue
+                if not self._graph_ok(q):
+                    continue
+                self.result.add(q)
+                word = extend_word(pos, q[_P], False)
+                self.words.add(word)
+                if q[_OK] == BLANK:
+                    child = (BLANK, q[_OV])
+                    if child not in self.visited_cbd:
+                        self.visited_cbd.add(child)
+                        stack.append(
+                            (word, iter(self.store.by_subject.get(child, ())))
+                        )
+                        descended = True
+                        break
+            if not descended:
+                stack.pop()
 
     # -------------- path matching (lib/Path.ts match methods) --------------
 
@@ -291,6 +307,7 @@ def local_bulk_extract(
     bulk: bool = True,
     cbd_default_graph: bool = False,
     n_buckets: Optional[int] = None,
+    graphs_to_ignore: Sequence[Term] = (),
 ) -> DataFrame:
     """Distributed wrapper: one shuffle by ``store_col``, then per-store
     extraction in applyInPandas (cogrouped with the member seeds).
@@ -305,6 +322,16 @@ def local_bulk_extract(
     if "entity_kind" not in members.columns:
         members = members.withColumn(
             "entity_kind", F.lit(IRI).cast("tinyint"))
+    # NULL store keys must not be dropped silently (pandas groupby drops
+    # NaN keys): coalesce to a sentinel so null-store members and quads
+    # still pair up as one store.
+    _NULL_STORE = "\x00<null-store>"
+    triples = triples.withColumn(
+        store_col, F.coalesce(F.col(store_col), F.lit(_NULL_STORE))
+    )
+    members = members.withColumn(
+        store_col, F.coalesce(F.col(store_col), F.lit(_NULL_STORE))
+    )
     # Re-alias to fresh attributes: when ``members`` derives from
     # ``triples`` (the common subjects-of-the-corpus case), cogroup
     # dedups shared attribute ids and silently DROPS the duplicated
@@ -318,6 +345,7 @@ def local_bulk_extract(
     nb = n_buckets or spark.sparkContext.defaultParallelism * 4
     shapes_local = shapes_graph
     shape_local = shape
+    ignore_local = tuple((g.kind, g.value) for g in graphs_to_ignore)
     cols = ["entity", "subject", "subject_kind", "predicate",
             "object_value", "object_kind", "object_lang",
             "object_datatype", "graph", "graph_kind"]
@@ -359,6 +387,7 @@ def local_bulk_extract(
             out_rows.extend(
                 extract_store(quads, mlist, shapes_local, shape_local,
                               bulk=bulk,
+                              graphs_to_ignore=ignore_local,
                               cbd_default_graph=cbd_default_graph)
             )
         return pd.DataFrame(out_rows, columns=cols)
