@@ -50,18 +50,40 @@ def tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_of_c = F.concat(F.lit("n:"), F.col("c_nationkey"))
     n = F.concat(F.lit("n:"), F.col("n_nationkey"))
 
+    def _struct(sub, sk, pred, ov, ok, dt=None):
+        return F.struct(
+            sub.alias("subject"),
+            F.lit(sk).cast("tinyint").alias("subject_kind"),
+            F.lit(pred).alias("predicate"),
+            ov.alias("object_value"),
+            F.lit(ok).cast("tinyint").alias("object_kind"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit(dt).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("graph"),
+            F.lit(None).cast("tinyint").alias("graph_kind"),
+        )
+
+    # One scan per source table; quads per row via inline-explode.
     parts = [
-        orders.select(*_quad(o, IRI, "kg:hasCustomer", c_of_o, IRI)),
-        orders.select(*_quad(o, IRI, "kg:orderDate",
-                             F.col("o_orderdate").cast("string"), LITERAL, XSD_STRING)),
-        lineitem.select(*_quad(o_of_l, IRI, "kg:hasLine", line, BLANK)),
-        lineitem.select(*_quad(line, BLANK, "kg:hasPart", p_of_l, IRI)),
-        lineitem.select(*_quad(line, BLANK, "kg:quantity",
-                               F.col("l_quantity").cast("long").cast("string"),
-                               LITERAL, XSD_INTEGER)),
-        customer.select(*_quad(c, IRI, "kg:inNation", n_of_c, IRI)),
-        customer.select(*_quad(c, IRI, "kg:name", F.col("c_name"), LITERAL, XSD_STRING)),
-        nation.select(*_quad(n, IRI, "kg:name", F.col("n_name"), LITERAL, XSD_STRING)),
+        orders.select(F.inline(F.array(
+            _struct(o, IRI, "kg:hasCustomer", c_of_o, IRI),
+            _struct(o, IRI, "kg:orderDate",
+                    F.col("o_orderdate").cast("string"), LITERAL, XSD_STRING),
+        ))),
+        lineitem.select(F.inline(F.array(
+            _struct(o_of_l, IRI, "kg:hasLine", line, BLANK),
+            _struct(line, BLANK, "kg:hasPart", p_of_l, IRI),
+            _struct(line, BLANK, "kg:quantity",
+                    F.col("l_quantity").cast("long").cast("string"),
+                    LITERAL, XSD_INTEGER),
+        ))),
+        customer.select(F.inline(F.array(
+            _struct(c, IRI, "kg:inNation", n_of_c, IRI),
+            _struct(c, IRI, "kg:name", F.col("c_name"), LITERAL, XSD_STRING),
+        ))),
+        nation.select(F.inline(F.array(
+            _struct(n, IRI, "kg:name", F.col("n_name"), LITERAL, XSD_STRING),
+        ))),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -140,37 +162,49 @@ def kbo_members(spark: SparkSession, sf_dir: str,
         ]
 
     lit_name = F.concat(F.lit("Company "), F.col("o_orderkey"))
-    parts = [
-        orders.select(*q(m, IRI, "rdf:type", F.lit("kbo:legalEntity"), IRI)),
-        orders.select(*q(m, IRI, "rdf:type", F.lit("kbo:Enterprise"), IRI)),
-        orders.select(*q(m, IRI, "kbo:isVersionOf",
-                         F.concat(F.lit("v:"), F.col("o_orderkey")), IRI)),
-        orders.select(*q(m, IRI, "kbo:companyStatus",
-                         F.lit("kbo:JuridicalSituation_000"), IRI)),
-        orders.select(*q(m, IRI, "kbo:companyType",
-                         F.lit("kbo:JuridicalForm_014"), IRI)),
-        orders.select(*q(m, IRI, "kbo:legalName", lit_name, LITERAL,
-                         XSD_STRING)),
-        orders.select(*q(m, IRI, "kbo:registeredAddress", addr, BLANK)),
-        orders.select(*q(m, IRI, "kbo:activity",
-                         F.concat(F.lit("act:"), F.col("o_orderkey") % 50), IRI)),
-        orders.select(*q(m, IRI, "kbo:activity",
-                         F.concat(F.lit("act:"), (F.col("o_orderkey") + 7) % 50), IRI)),
-        orders.select(*q(m, IRI, "kbo:activity",
-                         F.concat(F.lit("act:"), (F.col("o_orderkey") + 13) % 50), IRI)),
-        orders.select(*q(m, IRI, "kbo:establishment",
-                         F.concat(F.lit("e:"), F.col("o_orderkey")), IRI)),
-        orders.select(*q(m, IRI, "kbo:status", F.lit("kbo:Status_AC"), IRI)),
-        orders.select(*q(addr, BLANK, "kbo:fullAddress",
-                         F.concat(F.lit("Street "), F.col("o_orderkey")),
-                         LITERAL, XSD_STRING)),
-        orders.select(*q(addr, BLANK, "kbo:postCode",
-                         (F.col("o_orderkey") % 9999).cast("string"),
-                         LITERAL, XSD_STRING)),
+    # ONE scan of orders, 14 quads per row via inline-explode — no
+    # 14-branch union, no per-branch exchange. At corpus scale this is
+    # the only shape that survives: a single pass over the source with
+    # a generator, partitioned like the scan.
+    quad_defs = [
+        (m, IRI, "rdf:type", F.lit("kbo:legalEntity"), IRI, None),
+        (m, IRI, "rdf:type", F.lit("kbo:Enterprise"), IRI, None),
+        (m, IRI, "kbo:isVersionOf",
+         F.concat(F.lit("v:"), F.col("o_orderkey")), IRI, None),
+        (m, IRI, "kbo:companyStatus",
+         F.lit("kbo:JuridicalSituation_000"), IRI, None),
+        (m, IRI, "kbo:companyType", F.lit("kbo:JuridicalForm_014"), IRI, None),
+        (m, IRI, "kbo:legalName", lit_name, LITERAL, XSD_STRING),
+        (m, IRI, "kbo:registeredAddress", addr, BLANK, None),
+        (m, IRI, "kbo:activity",
+         F.concat(F.lit("act:"), F.col("o_orderkey") % 50), IRI, None),
+        (m, IRI, "kbo:activity",
+         F.concat(F.lit("act:"), (F.col("o_orderkey") + 7) % 50), IRI, None),
+        (m, IRI, "kbo:activity",
+         F.concat(F.lit("act:"), (F.col("o_orderkey") + 13) % 50), IRI, None),
+        (m, IRI, "kbo:establishment",
+         F.concat(F.lit("e:"), F.col("o_orderkey")), IRI, None),
+        (m, IRI, "kbo:status", F.lit("kbo:Status_AC"), IRI, None),
+        (addr, BLANK, "kbo:fullAddress",
+         F.concat(F.lit("Street "), F.col("o_orderkey")), LITERAL, XSD_STRING),
+        (addr, BLANK, "kbo:postCode",
+         (F.col("o_orderkey") % 9999).cast("string"), LITERAL, XSD_STRING),
     ]
-    triples = parts[0]
-    for p in parts[1:]:
-        triples = triples.unionByName(p)
+    structs = [
+        F.struct(
+            sub.alias("subject"),
+            F.lit(sk).cast("tinyint").alias("subject_kind"),
+            F.lit(pred).alias("predicate"),
+            ov.alias("object_value"),
+            F.lit(ok).cast("tinyint").alias("object_kind"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit(dt).cast("string").alias("object_datatype"),
+            g_val.cast("string").alias("graph"),
+            F.lit(g_kind).cast("tinyint").alias("graph_kind"),
+        )
+        for (sub, sk, pred, ov, ok, dt) in quad_defs
+    ]
+    triples = orders.select(F.inline(F.array(*structs)))
     members = orders.select(
         m.alias("entity"),
         F.lit(IRI).cast("tinyint").alias("entity_kind"),

@@ -298,6 +298,236 @@ def extract_store(quads: List[tuple], members: Sequence[Tuple[int, str]],
             yield (m[1],) + q
 
 
+# ---------------------------------------------------------------------------
+# Vectorized bucket kernel
+# ---------------------------------------------------------------------------
+#
+# For the common web-corpus regime — non-closed shapes whose match paths
+# and nodeLink patterns are all single-hop forward PredicatePaths (the
+# reference's KBO perf shapes, perf/resources/shacl-kbo.ttl, and typical
+# crawl shapes) — the per-member recursive algorithm above collapses to
+# set algebra that pandas can run over the WHOLE bucket at once:
+#
+# * the paths loop is a provable no-op for result quads: for a non-closed
+#   shape CBD has already emitted the focus star, and a single forward
+#   hop's witnesses are a subset of that star whether or not found()
+#   gates it (gating only ever skips already-present quads);
+# * nodeLink targets are one (frontier x store) merge per round, shared
+#   across all members — reference reuse-vs-refetch of targets
+#   (lib/CBDShapeExtractor.ts:419-428) yields identical target sets;
+# * CBD + blank closure is an iterative merge with a visited anti-join.
+#
+# Shapes outside this class (closed shapes, inverse paths, sequences,
+# alternatives, multipaths) keep the exact per-member interpreter: their
+# found() gating can be triggered by trie-word *reduction* (an inverse
+# hop popping the arrival step) or by sibling nodes sharing a trie
+# position, where unconditional matching would diverge from the
+# reference's skip semantics.
+
+
+def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
+                             shape: Optional[Term]):
+    """Driver-side vectorizability gate.
+
+    Returns ``(links, root_key)`` when every shape reachable from
+    ``shape`` through nodeLinks is non-closed and uses only single-hop
+    forward PredicatePaths; ``None`` otherwise. ``links`` rows are
+    ``(shape_key, predicate, child_shape_key, link_order)`` — the whole
+    recursion structure the vectorized kernel needs.
+    """
+    if shape is None or shapes_graph is None:
+        return [], None
+    links: List[tuple] = []
+    seen: Set[str] = set()
+    stack = [shape]
+    while stack:
+        sid = stack.pop()
+        key = f"{sid.kind}:{sid.value}"
+        if key in seen:
+            continue
+        seen.add(key)
+        tpl = shapes_graph.get(sid)
+        if tpl is None:
+            continue  # unresolved link -> plain CBD at the target
+        if tpl.closed:
+            return None
+        for p in tpl.match_paths():
+            if not isinstance(p, PredicatePath):
+                return None
+        for order, nl in enumerate(tpl.all_node_links()):
+            if not isinstance(nl.path_pattern, PredicatePath):
+                return None
+            links.append(
+                (key, nl.path_pattern.predicate,
+                 f"{nl.link.kind}:{nl.link.value}", order)
+            )
+            stack.append(nl.link)
+    return links, f"{shape.kind}:{shape.value}"
+
+
+def _anti(left: pd.DataFrame, right: pd.DataFrame, cols: List[str]) -> pd.DataFrame:
+    """left rows whose key tuple does not appear in right (merge anti-join)."""
+    if left.empty or right.empty:
+        return left
+    m = left.merge(right[cols].drop_duplicates(), on=cols, how="left",
+                   indicator=True)
+    return m[m["_merge"] == "left_only"].drop(columns="_merge")
+
+
+def _vec_extract_bucket(
+    tpdf: pd.DataFrame,
+    mpdf: pd.DataFrame,
+    store_col: str,
+    links: List[tuple],
+    root_key: Optional[str],
+    bulk: bool,
+    cbd_default_graph: bool,
+    ignore_set: Set[tuple],
+    out_cols: List[str],
+) -> pd.DataFrame:
+    """Extract every member of every store in the bucket with columnar
+    merges only — no per-member or per-quad Python. Semantics match
+    ``extract_store`` for shapes accepted by ``compile_single_hop_links``
+    (parity-tested)."""
+    NK = ["mid", "nk", "nv"]
+
+    tq = tpdf.reset_index(drop=True).rename(columns={store_col: "store"})
+    tq["qid"] = tq.index
+    # normalize kind dtypes (Arrow delivers nullable tinyint as float64)
+    tq["subject_kind"] = tq["subject_kind"].astype("int64")
+    tq["object_kind"] = tq["object_kind"].astype("int64")
+    tq["graph_kind"] = tq["graph_kind"].astype("Int64")
+    mdf = mpdf.reset_index(drop=True).rename(
+        columns={"_m_store": "store", "_m_entity": "mval", "_m_kind": "mkind"}
+    )
+    mdf["mid"] = mdf.index
+    mdf["mkind"] = mdf["mkind"].astype("int64")
+
+    # bulk isolation flag: quad's graph is some member's IRI entity
+    if bulk:
+        mg = (
+            mdf[mdf["mkind"] == IRI][["store", "mval"]]
+            .drop_duplicates()
+            .rename(columns={"mval": "graph"})
+        )
+        mg["_gm"] = True
+        tq = tq.merge(mg, on=["store", "graph"], how="left")
+        tq["_gm"] = tq["_gm"].notna() & (tq["graph_kind"] == IRI)
+    else:
+        tq["_gm"] = False
+
+    # traversal view: graphs_to_ignore dropped; named-graph pickup uses tq
+    trav = tq
+    if ignore_set:
+        ig = pd.DataFrame(list(ignore_set), columns=["graph_kind", "graph"])
+        trav = _anti(trav, ig, ["graph_kind", "graph"])
+    trav_cbd = trav[trav["graph"].isna()] if cbd_default_graph else trav
+
+    emitted: List[pd.DataFrame] = []
+
+    def graph_keep(hits: pd.DataFrame) -> pd.DataFrame:
+        if not bulk:
+            return hits
+        keep = ~hits["_gm"].to_numpy() | (
+            (hits["graph"] == hits["mval"]) & (hits["mkind"] == IRI)
+        ).to_numpy()
+        return hits[keep]
+
+    def run_cbd(seeds: pd.DataFrame, visited: pd.DataFrame) -> pd.DataFrame:
+        """CBD star + blank closure for all (mid, node) seeds at once;
+        returns the updated visited frame. Emits into ``emitted``."""
+        frontier = _anti(seeds[NK + ["store", "mkind", "mval"]], visited, NK)
+        frontier = frontier.drop_duplicates(NK)
+        visited = pd.concat([visited, frontier[NK]], ignore_index=True)
+        while len(frontier):
+            hits = frontier.merge(
+                trav_cbd,
+                left_on=["store", "nk", "nv"],
+                right_on=["store", "subject_kind", "subject"],
+            )
+            hits = graph_keep(hits)
+            if not len(hits):
+                break
+            emitted.append(hits[["mid", "qid"]])
+            kids = hits[hits["object_kind"] == BLANK][
+                ["mid", "object_value", "store", "mkind", "mval"]
+            ].rename(columns={"object_value": "nv"})
+            if not len(kids):
+                break
+            kids["nk"] = BLANK
+            kids = _anti(kids.drop_duplicates(NK), visited, NK)
+            visited = pd.concat([visited, kids[NK]], ignore_index=True)
+            frontier = kids
+        return visited
+
+    # ---- shape-guided recursion over the links table ----
+    _NOSHAPE = "\x00none"
+    links_df = pd.DataFrame(
+        links, columns=["skey", "predicate", "child", "lorder"]
+    ) if links else pd.DataFrame(columns=["skey", "predicate", "child", "lorder"])
+
+    work = mdf[["mid", "store", "mkind", "mval"]].copy()
+    work["nk"] = work["mkind"]
+    work["nv"] = work["mval"]
+    work["skey"] = root_key if root_key is not None else _NOSHAPE
+    work["lorder"] = 0
+
+    def _empty_nk():
+        return pd.DataFrame(
+            {"mid": pd.Series(dtype="int64"), "nk": pd.Series(dtype="int64"),
+             "nv": pd.Series(dtype="object")}
+        )
+
+    visited_cbd = _empty_nk()
+    visited_shape = _empty_nk()
+    while len(work):
+        work = work[work["nk"] != LITERAL]
+        work = _anti(work, visited_shape, NK)
+        # one shape visit per (member, node); claim in link order
+        work = work.sort_values("lorder", kind="stable").drop_duplicates(NK)
+        if not len(work):
+            break
+        visited_shape = pd.concat([visited_shape, work[NK]], ignore_index=True)
+        # every vectorizable shape is non-closed -> CBD at each node
+        visited_cbd = run_cbd(work, visited_cbd)
+        if links_df.empty:
+            break
+        hits = work.merge(
+            trav,
+            left_on=["store", "nk", "nv"],
+            right_on=["store", "subject_kind", "subject"],
+        )
+        hits = graph_keep(hits)
+        tgt = hits.drop(columns="lorder").merge(links_df, on=["skey", "predicate"])
+        if not len(tgt):
+            break
+        work = tgt[tgt["object_kind"] != LITERAL][
+            ["mid", "store", "mkind", "mval", "object_kind", "object_value",
+             "child", "lorder"]
+        ].rename(
+            columns={"object_kind": "nk", "object_value": "nv",
+                     "child": "skey"}
+        )
+
+    # named-graph member pickup — unfiltered (lib/CBDShapeExtractor.ts:317-324)
+    pickup = mdf.merge(
+        tq,
+        left_on=["store", "mkind", "mval"],
+        right_on=["store", "graph_kind", "graph"],
+    )
+    if len(pickup):
+        emitted.append(pickup[["mid", "qid"]])
+
+    if not emitted:
+        return pd.DataFrame(columns=out_cols)
+    pairs = pd.concat(emitted, ignore_index=True).drop_duplicates()
+    out = pairs.merge(mdf[["mid", "mval"]], on="mid").merge(
+        tq.drop(columns=["store", "_gm"]), on="qid"
+    )
+    out = out.rename(columns={"mval": "entity"})
+    return out[out_cols]
+
+
 def local_bulk_extract(
     triples: DataFrame,
     members: DataFrame,
@@ -308,6 +538,7 @@ def local_bulk_extract(
     cbd_default_graph: bool = False,
     n_buckets: Optional[int] = None,
     graphs_to_ignore: Sequence[Term] = (),
+    vectorize: bool = True,
 ) -> DataFrame:
     """Distributed wrapper: one shuffle by ``store_col``, then per-store
     extraction in applyInPandas (cogrouped with the member seeds).
@@ -346,6 +577,9 @@ def local_bulk_extract(
     shapes_local = shapes_graph
     shape_local = shape
     ignore_local = tuple((g.kind, g.value) for g in graphs_to_ignore)
+    # Vectorized fast path: single-hop forward-predicate shape DAGs run
+    # as columnar merges over the whole bucket (no per-member Python).
+    vec_plan = compile_single_hop_links(shapes_graph, shape) if vectorize else None
     cols = ["entity", "subject", "subject_kind", "predicate",
             "object_value", "object_kind", "object_lang",
             "object_datatype", "graph", "graph_kind"]
@@ -360,6 +594,12 @@ def local_bulk_extract(
     def run(key, tpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
         if mpdf.empty or tpdf.empty:
             return pd.DataFrame(columns=cols)
+        if vec_plan is not None:
+            links, root_key = vec_plan
+            return _vec_extract_bucket(
+                tpdf, mpdf, store_col, links, root_key, bulk,
+                cbd_default_graph, set(ignore_local), cols,
+            )
         out_rows: List[tuple] = []
         member_groups = {
             k: [(int(ek), ev) for ek, ev in zip(g["_m_kind"], g["_m_entity"])]

@@ -135,3 +135,95 @@ def test_engine_parity_kbo(spark):
     lset = {tuple(r) for r in
             l.select("entity", "subject", "predicate", "object_value").collect()}
     assert gset == lset
+
+
+# ---------------------------------------------------------------------------
+# Vectorized bucket kernel parity (the single-hop fast path)
+# ---------------------------------------------------------------------------
+
+VEC_CORPUS = """
+@prefix ex: <http://example.org/> .
+ex:A ex:p ex:B ; ex:name "a" ; ex:addr _:a1 ; ex:link ex:Shared .
+_:a1 ex:street "S1" ; ex:deep _:a2 .
+_:a2 ex:zip "Z1" .
+ex:B ex:name "b" ; ex:link ex:Shared .
+ex:Shared ex:name "shared" ; ex:child _:s1 .
+_:s1 ex:street "S9" .
+ex:GA { ex:A ex:graphed "in-A-graph" . ex:B ex:other "in-A-graph-too" . }
+ex:GB { ex:C ex:graphed "unrelated" . }
+ex:A { ex:A ex:selfgraph "own graph quad" . }
+ex:B { ex:A ex:leak "should not leak into A via CBD" . }
+"""
+
+VEC_SHAPE = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:RootShape a sh:NodeShape ;
+  sh:property [ sh:path <http://example.org/name> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <http://example.org/p> ; sh:node ex:RootShape ] ;
+  sh:property [ sh:path <http://example.org/link> ; sh:node ex:LeafShape ] .
+ex:LeafShape a sh:NodeShape ;
+  sh:property [ sh:path <http://example.org/child> ; sh:minCount 1 ] .
+"""
+
+
+def _vec_vs_loop(spark, shape_ttl, shape_iri, bulk, ignore=()):
+    quads = [quad_to_row(q) for q in parse_trig(VEC_CORPUS)]
+    tdf = spark.createDataFrame(quads, schema=_QUAD_SCHEMA).withColumn(
+        "store_key", F.lit("s1"))
+    mem = spark.createDataFrame(
+        [("http://example.org/A",), ("http://example.org/B",)], "entity string"
+    ).withColumn("store_key", F.lit("s1"))
+    sg = ShapesGraph.from_quads(parse_trig(shape_ttl)) if shape_ttl else None
+    shape = Term(IRI, shape_iri) if shape_iri else None
+    kw = dict(shapes_graph=sg, shape=shape, bulk=bulk,
+              graphs_to_ignore=ignore, n_buckets=2)
+    vec = local_bulk_extract(tdf, mem, vectorize=True, **kw)
+    loop = local_bulk_extract(tdf, mem, vectorize=False, **kw)
+    vrows = {tuple(r) for r in vec.collect()}
+    lrows = {tuple(r) for r in loop.collect()}
+    assert vrows == lrows
+    assert len(vrows) > 0
+    return vrows
+
+
+_QUAD_SCHEMA = (
+    "subject string, subject_kind tinyint, predicate string, "
+    "object_value string, object_kind tinyint, object_lang string, "
+    "object_datatype string, graph string, graph_kind tinyint"
+)
+
+
+def test_vec_parity_cbd_only(spark):
+    _vec_vs_loop(spark, None, None, bulk=False)
+
+
+def test_vec_parity_bulk_isolation_and_pickup(spark):
+    rows = _vec_vs_loop(spark, None, None, bulk=True)
+    a = {r[4] for r in rows if r[0] == "http://example.org/A"}
+    assert "own graph quad" in a          # named-graph pickup
+    assert "should not leak into A via CBD" not in a  # bulk isolation
+
+
+def test_vec_parity_shape_links(spark):
+    _vec_vs_loop(spark, VEC_SHAPE, "http://example.org/RootShape", bulk=False)
+    _vec_vs_loop(spark, VEC_SHAPE, "http://example.org/RootShape", bulk=True)
+
+
+def test_vec_parity_graphs_to_ignore(spark):
+    from extract_cbd_shape_spark.model import Term as T
+    rows = _vec_vs_loop(
+        spark, None, None, bulk=False,
+        ignore=(T(IRI, "http://example.org/GA"),))
+    a = {r[4] for r in rows if r[0] == "http://example.org/A"}
+    assert "in-A-graph" not in a
+
+
+def test_vec_gate_rejects_complex_shapes():
+    from extract_cbd_shape_spark.operators.local_extract import (
+        compile_single_hop_links)
+    sg = ShapesGraph.from_quads(parse_trig(load_fixture("05 - paths/shape.ttl")))
+    assert compile_single_hop_links(
+        sg, Term(IRI, EX + "SequencePathShape")) is None
+    assert compile_single_hop_links(
+        sg, Term(IRI, EX + "InversePathShape")) is None
