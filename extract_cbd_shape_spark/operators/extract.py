@@ -349,6 +349,9 @@ class _Run:
         self.visited_cbd = self.spark.createDataFrame(
             [], "member_id long, node string, node_kind tinyint"
         )
+        # Driver-known emptiness: elides the memo-skip join on the first
+        # CBD pass (visited is empty by construction).
+        self._visited_cbd_nonempty = False
         self.processed_parts: List[DataFrame] = []  # for deref flagging
 
     # --------------------------------------------------------------- helpers
@@ -413,39 +416,44 @@ class _Run:
         base = work.select(
             "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
         )
-        frontier = base.join(
-            self.visited_cbd, ["member_id", "node", "node_kind"], "left_anti"
-        )
-        # Memo-skipped nodes: the reference re-runs the star there
-        # (extractRecursively always calls CBD; only the BLANK recursion
-        # is guarded, lib/CBDShapeExtractor.ts:389-391,501-505), so the
-        # topology words at the NEW position must still be recorded even
-        # though the re-emitted quads would just dedup away. One lazy
-        # one-hop join; empty whenever nothing was skipped (round 1).
-        skipped = base.join(
-            self.visited_cbd, ["member_id", "node", "node_kind"], "left_semi"
-        )
-        sk = skipped.alias("f").join(
-            self.triples.alias("t"),
-            (F.col("f.node") == F.col("t.subject"))
-            & (F.col("f.node_kind") == F.col("t.subject_kind")),
-            "inner",
-        )
-        if self.ex.cbd_default_graph:
-            sk = sk.filter(F.col("t.graph").isNull())
-        sk = self._graph_filter(
-            sk.select(
-                "f.member_id", "f.entity", "f.pos",
-                *[f"t.{c}" for c in QUAD_COLS],
-                "t.graph_is_member",
+        if not self._visited_cbd_nonempty:
+            frontier = base
+        else:
+            frontier = base.join(
+                self.visited_cbd, ["member_id", "node", "node_kind"], "left_anti"
             )
-        )
-        self.trie_parts.append(
-            sk.select(
-                "member_id",
-                _sql_extend_word(F.col("pos"), "+", F.col("predicate")).alias("word"),
-            ).distinct()
-        )
+            # Memo-skipped nodes: the reference re-runs the star there
+            # (extractRecursively always calls CBD; only the BLANK recursion
+            # is guarded, lib/CBDShapeExtractor.ts:389-391,501-505), so the
+            # topology words at the NEW position must still be recorded even
+            # though the re-emitted quads would just dedup away. One lazy
+            # one-hop join; empty whenever nothing was skipped (round 1,
+            # where the whole branch is elided driver-side).
+            skipped = base.join(
+                self.visited_cbd, ["member_id", "node", "node_kind"], "left_semi"
+            )
+            sk = skipped.hint("shuffle_hash").alias("f").join(
+                self.triples.alias("t"),
+                (F.col("f.node") == F.col("t.subject"))
+                & (F.col("f.node_kind") == F.col("t.subject_kind")),
+                "inner",
+            )
+            if self.ex.cbd_default_graph:
+                sk = sk.filter(F.col("t.graph").isNull())
+            sk = self._graph_filter(
+                sk.select(
+                    "f.member_id", "f.entity", "f.pos",
+                    *[f"t.{c}" for c in QUAD_COLS],
+                    "t.graph_is_member",
+                )
+            )
+            self.trie_parts.append(
+                sk.select(
+                    "member_id",
+                    _sql_extend_word(F.col("pos"), "+", F.col("predicate")).alias("word"),
+                ).distinct()
+            )
+        self._visited_cbd_nonempty = True
         self.visited_cbd = (
             self.visited_cbd.unionByName(
                 frontier.select("member_id", "node", "node_kind")
@@ -455,7 +463,10 @@ class _Run:
         )
         t = self.triples
         while True:
-            f = frontier.alias("f")
+            # shuffle_hash: build on the (small) frontier, stream the
+            # subject-partitioned store — avoids SMJ re-sorting the whole
+            # store on every wave.
+            f = frontier.hint("shuffle_hash").alias("f")
             tt = t.alias("t")
             cond = (F.col("f.node") == F.col("t.subject")) & (
                 F.col("f.node_kind") == F.col("t.subject_kind")
@@ -543,7 +554,7 @@ class _Run:
 
     def _match_predicate(self, path: PredicatePath, focus: DataFrame,
                          inverse: bool) -> DataFrame:
-        f = focus.alias("f")
+        f = focus.hint("shuffle_hash").alias("f")
         tt = self.triples.alias("t")
         pred = F.col("t.predicate") == F.lit(path.predicate)
         if not inverse:
@@ -724,9 +735,11 @@ class _Run:
             ]
             new_work_parts: List[DataFrame] = []
             for sk in shape_keys:
+                # work is checkpointed each round; the filter is cheap to
+                # recompute, no extra materialization needed.
                 sub = work.filter(
                     F.col("shape_key").eqNullSafe(F.lit(sk).cast("string"))
-                ).localCheckpoint()
+                )
                 shape = self._resolve_shape(sk)
                 new_work_parts.extend(self._process_shape(sub, shape, sk))
             self._checkpoint_trie()
@@ -762,7 +775,7 @@ class _Run:
 
         # Named-graph member pickup (lib/CBDShapeExtractor.ts:317-324) —
         # graph filters do NOT apply here.
-        m = self.members_df.alias("m")
+        m = self.members_df.hint("shuffle_hash").alias("m")
         tt = self.triples.alias("t")
         pickup = m.join(
             tt,
@@ -814,11 +827,21 @@ class _Run:
         # (lib/CBDShapeExtractor.ts:399,419-428).
         matched_targets: Dict[int, DataFrame] = {}
         gated_out_rows: Dict[int, DataFrame] = {}
+        # Predicates some nodeLink needs targets for: when a non-closed
+        # forward simple stage is elided (witnesses subset of the CBD
+        # star, see _process_simple_stage), only these predicates still
+        # need their join — the rest of the stage contributes nothing.
+        link_preds = {
+            nl.path_pattern.predicate
+            for nl in shape.all_node_links()
+            if isinstance(nl.path_pattern, PredicatePath)
+        }
+        self._simple_targets_by_pred: Dict[str, DataFrame] = {}
         for kind, payload in _plan_stages(match_paths):
             if kind == "simple":
                 self._process_simple_stage(
                     shape, focus_base, match_paths, payload,
-                    matched_targets, gated_out_rows,
+                    matched_targets, gated_out_rows, link_preds,
                 )
                 continue
             path = match_paths[payload]
@@ -849,6 +872,13 @@ class _Run:
             if pid in matched_targets:
                 parts.append(matched_targets[pid])
                 fallback_rows = gated_out_rows[pid]
+            elif (
+                isinstance(nl.path_pattern, PredicatePath)
+                and nl.path_pattern.predicate in self._simple_targets_by_pred
+            ):
+                parts.append(
+                    self._simple_targets_by_pred[nl.path_pattern.predicate])
+                fallback_rows = focus_base.limit(0)
             else:
                 fallback_rows = focus_base
             if not self._empty(fallback_rows):
@@ -881,6 +911,7 @@ class _Run:
         stage: List[tuple],
         matched_targets: Dict[int, DataFrame],
         gated_out_rows: Dict[int, DataFrame],
+        link_preds: Optional[set] = None,
     ) -> None:
         """Batched gate+match for a stage of simple predicate paths:
         one join per direction over ALL work rows. Gating is a join
@@ -891,6 +922,16 @@ class _Run:
         empty = focus_base.limit(0)
         for inverse in (False, True):
             items = [(i, p) for (i, p, inv) in stage if inv == inverse]
+            elide = (
+                not inverse and not shape.closed
+                and not self.ex.cbd_default_graph
+            )
+            if elide and link_preds is not None:
+                # witnesses and trie words of an elided forward path are
+                # subsets of what CBD already recorded at the same focus
+                # with the same graph filter; only nodeLink target sets
+                # still matter.
+                items = [(i, p) for (i, p) in items if p in link_preds]
             if not items:
                 continue
             preds = [p for _, p in items]
@@ -915,7 +956,7 @@ class _Run:
                 )
                 tgt = ("t.subject", "t.subject_kind", None, None)
             pass_cols = [c for c in focus_base.columns if c not in _NODE_COLS]
-            joined = f.join(tt, cond, "inner")
+            joined = f.hint("shuffle_hash").join(tt, cond, "inner")
             joined = self._graph_filter(
                 joined.select(
                     *[F.col(f"f.{c}").alias(c) for c in pass_cols],
@@ -932,10 +973,18 @@ class _Run:
             joined = joined.withColumn(
                 "pos", _sql_extend_word(F.col("_old_pos"), sign, F.col("_q_predicate"))
             )
-            if not shape.closed:
-                # found-gate: the candidate word equals pos-after; a hit
-                # in the pre-stage trie means the path was already
-                # witnessed -> suppress its result quads.
+            # Witness emission + found-gate. For a NON-closed shape a
+            # FORWARD single-hop witness is always a subset of the CBD
+            # star already emitted at the same focus with the same graph
+            # filter (CBD runs unconditionally for non-closed shapes), so
+            # both the gate join and the emission are no-ops after the
+            # final dedup — elide them. Inverse hops still emit (their
+            # witnesses are NOT in the star) and still gate (a reduced
+            # word can witness them, e.g. arriving via +p then ^p).
+            # cbd_default_graph narrows CBD but not path matching, so it
+            # forces the slow path.
+            emit = shape.closed or inverse or self.ex.cbd_default_graph
+            if emit and not shape.closed:
                 tb = trie_before.select(
                     F.col("member_id"), F.col("word").alias("pos")
                 ).distinct().withColumn("_found", F.lit(True))
@@ -948,19 +997,27 @@ class _Run:
                 joined.select("member_id", F.col("pos").alias("word")).distinct()
             )
             quad_cols = [F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
-            self.result_parts.append(
-                joined.filter(F.col("_found").isNull()).select("member_id", *quad_cols)
-            )
+            if emit:
+                self.result_parts.append(
+                    joined.filter(F.col("_found").isNull()).select(
+                        "member_id", *quad_cols)
+                )
             quad_struct = F.struct(*quad_cols)
             targets_all = joined.withColumn(
                 "path_quads", F.array(quad_struct)
             ).select(*pass_cols, *_NODE_COLS, "_q_predicate")
             for idx, pred in items:
                 path_obj = match_paths[idx]
-                matched_targets[id(path_obj)] = targets_all.filter(
+                tgt_df = targets_all.filter(
                     F.col("_q_predicate") == pred
                 ).drop("_q_predicate")
+                matched_targets[id(path_obj)] = tgt_df
                 gated_out_rows[id(path_obj)] = empty
+                if elide:
+                    # ungated target set == what a fresh match would
+                    # return; nodeLinks whose pattern is a distinct
+                    # object with the same predicate can reuse it.
+                    self._simple_targets_by_pred[pred] = tgt_df
 
     # ----------------------------------------------------------- deref flags
 
