@@ -456,7 +456,11 @@ def _q_media_features(spark, sf_dir):
 def _q_pages_triples(spark, sf_dir):
     pages = synth_pages(spark, sf_dir)
     return extract_page_triples(pages).select(
-        "subject", "predicate", "object_value", F.col("object_kind").cast("int").alias("object_kind")
+        "subject",
+        F.col("subject_kind").cast("int").alias("subject_kind"),
+        "predicate",
+        "object_value",
+        F.col("object_kind").cast("int").alias("object_kind"),
     )
 
 
@@ -977,14 +981,21 @@ SELECT media_id,
 FROM media
 """,
         "pages_extract_triples": f"""
-WITH b AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS t FROM documents)
+WITH b AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS t,
+           '_:' || substr(md5('https://corpus.test/' || source || '/' || doc_id), 1, 16)
+             || ':b0' AS blank
+           FROM documents)
 SELECT * FROM (
-  SELECT 'doc:' || doc_id AS subject, 'kg:lang' AS predicate,
-         lang AS object_value, 2 AS object_kind FROM b
+  SELECT 'doc:' || doc_id AS subject, 0 AS subject_kind,
+         'kg:lang' AS predicate, lang AS object_value, 2 AS object_kind FROM b
   UNION ALL
-  SELECT 'doc:' || doc_id, 'kg:source', source, 2 FROM b
+  SELECT 'doc:' || doc_id, 0, 'kg:source', source, 2 FROM b
   UNION ALL
-  SELECT 'doc:' || doc_id, 'kg:mentions', unnest(t[1:5]), 2 FROM b
+  SELECT 'doc:' || doc_id, 0, 'kg:mentions', unnest(t[1:5]), 2 FROM b
+  UNION ALL
+  SELECT 'doc:' || doc_id, 0, 'kg:author', blank, 1 FROM b
+  UNION ALL
+  SELECT blank, 1, 'kg:name', 'author-' || (doc_id % 1000), 2 FROM b
 )
 """,
         "pages_text_identity": """

@@ -22,6 +22,12 @@ from pyspark.sql import types as T
 IRI = 0
 BLANK = 1
 LITERAL = 2
+# RDF-star quoted triple (reference termType 'Quad', lib/Utils.ts:75-84,
+# lib/Path.ts:289-308). The term's ``value`` column holds the canonical
+# N-Triples-star serialization of the quoted triple (encode_quoted), so
+# identity/join keys compose recursively exactly like the reference's
+# termKey string.
+QUOTED = 3
 
 XSD = "http://www.w3.org/2001/XMLSchema#"
 XSD_STRING = XSD + "string"
@@ -82,6 +88,37 @@ class Quad(NamedTuple):
     predicate: Term
     object: Term
     graph: Optional[Term] = None
+
+
+def term_ntriples(t: Term) -> str:
+    """Canonical N-Triples(-star) spelling of a term — also the QUOTED
+    value encoding, mirroring the recursive termKey of the reference
+    (lib/Utils.ts:66-95)."""
+    if t.kind == IRI:
+        return f"<{t.value}>"
+    if t.kind == BLANK:
+        return f"_:{t.value}"
+    if t.kind == QUOTED:
+        return t.value  # already the canonical << ... >> spelling
+    v = (
+        t.value.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
+    if t.lang:
+        return f'"{v}"@{t.lang}'
+    if t.datatype and t.datatype != XSD_STRING:
+        return f'"{v}"^^<{t.datatype}>'
+    return f'"{v}"'
+
+
+def encode_quoted(subject: Term, predicate: Term, obj: Term) -> Term:
+    """Build an RDF-star quoted-triple term; injective by construction
+    (canonical serialization of each component)."""
+    return Term(
+        QUOTED,
+        f"<< {term_ntriples(subject)} {term_ntriples(predicate)} "
+        f"{term_ntriples(obj)} >>",
+    )
 
 
 # Flat column layout shared by every quad-shaped DataFrame.

@@ -188,6 +188,7 @@ class BulkCBDShapeExtractor:
         shape: Optional[Term] = None,
         graphs_to_ignore: Optional[Sequence[Term]] = None,
         bulk: bool = False,
+        store_partitioned: bool = False,
     ) -> Tuple[DataFrame, DataFrame]:
         """Extract every member; returns (results, flags).
 
@@ -200,6 +201,13 @@ class BulkCBDShapeExtractor:
         supported for sequence input. ``bulk=True`` additionally
         ignores, per member, every *other* member's named graph
         (lib/CBDShapeExtractor.ts:95-99).
+
+        ``store_partitioned=True`` declares that ``triples`` is already
+        clustered by (subject, subject_kind) — a bucketed-table read or
+        an upstream repartition — so the engine skips its own full-store
+        repartition + checkpoint (at corpus scale that is a full copy of
+        the input before any work; see materialize_table(bucket_by=
+        "subject") for the matching writer layout).
         """
         if isinstance(members, DataFrame):
             sk = F.lit(_shape_key(shape)).cast("string")
@@ -215,7 +223,9 @@ class BulkCBDShapeExtractor:
             mdf = mdf.withColumn(
                 "member_id", F.xxhash64("entity", "entity_kind", "input_idx")
             ).localCheckpoint()
-            run = _Run(self, triples, mdf, bulk)
+            run = _Run(self, triples, mdf, bulk,
+                       global_ignores=tuple(graphs_to_ignore or ()),
+                       store_partitioned=store_partitioned)
             return run.execute()
 
         norm: List[Member] = []
@@ -236,7 +246,8 @@ class BulkCBDShapeExtractor:
 
         resolved: set = set()
         for _ in range(self.max_deref_rounds):
-            run = _Run(self, triples, norm, bulk)
+            run = _Run(self, triples, norm, bulk,
+                       store_partitioned=store_partitioned)
             results, flags = run.execute()
             if not self.resolver:
                 return results, flags
@@ -282,11 +293,16 @@ class _Run:
     """One bulk extraction pass over a fixed store."""
 
     def __init__(self, ex: BulkCBDShapeExtractor, triples: DataFrame,
-                 members: Union[List[Member], DataFrame], bulk: bool):
+                 members: Union[List[Member], DataFrame], bulk: bool,
+                 global_ignores: Sequence[Term] = (),
+                 store_partitioned: bool = False):
         self.ex = ex
         self.spark = ex.spark
         self.bulk = bulk
         self.shapes = ex.shapes_graph
+        # graphs ignored for EVERY member (DataFrame-members path, where
+        # per-member ignore pairs have no sequence to come from)
+        self.global_ignores = tuple(global_ignores)
 
         if isinstance(members, DataFrame):
             self.members_df = members.select(
@@ -337,9 +353,14 @@ class _Run:
         # (lib/Utils.ts:10-23). Inverse joins shuffle both sides; an
         # object-keyed second copy is the upgrade path if a shape is
         # inverse-heavy.
-        self.triples = t.repartition(
-            F.col("subject"), F.col("subject_kind")
-        ).localCheckpoint()
+        if store_partitioned:
+            # Caller-provided clustering (bucketed table / upstream
+            # repartition): no full-store copy, joins reuse it as-is.
+            self.triples = t
+        else:
+            self.triples = t.repartition(
+                F.col("subject"), F.col("subject_kind")
+            ).localCheckpoint()
 
         # Engine state.
         self.result_parts: List[DataFrame] = []
@@ -359,6 +380,13 @@ class _Run:
     def _graph_filter(self, df: DataFrame) -> DataFrame:
         """GraphFilter.has (lib/Path.ts:66, lib/CBDShapeExtractor.ts:95-99,
         491-494): explicit ignore list + (bulk) other members' graphs."""
+        if self.global_ignores:
+            df = df.filter(
+                ~F.coalesce(
+                    F.col("graph").isin([g.value for g in self.global_ignores]),
+                    F.lit(False),
+                )
+            )
         if self.ignored_pairs is not None:
             df = df.join(
                 F.broadcast(self.ignored_pairs), ["member_id", "graph"], "left_anti"

@@ -539,6 +539,7 @@ def local_bulk_extract(
     n_buckets: Optional[int] = None,
     graphs_to_ignore: Sequence[Term] = (),
     vectorize: bool = True,
+    giant_store_threshold: Optional[int] = None,
 ) -> DataFrame:
     """Distributed wrapper: one shuffle by ``store_col``, then per-store
     extraction in applyInPandas (cogrouped with the member seeds).
@@ -549,7 +550,15 @@ def local_bulk_extract(
     Stores are hashed into ``n_buckets`` coarse groups (default 4x the
     default parallelism) so the per-group pandas overhead amortizes over
     thousands of stores per task; store isolation is preserved by
-    grouping on ``store_col`` again inside the task."""
+    grouping on ``store_col`` again inside the task.
+
+    ``giant_store_threshold``: when set, one counting pass finds stores
+    with more quads than the threshold and routes them through the
+    global fixpoint engine (one run per giant store, preserving store
+    isolation) instead of landing the whole store in a single
+    applyInPandas task — the skew/OOM guard for web-scale corpora where
+    one page can be 10^6 quads. Costs one extra aggregate scan, so the
+    raw operator leaves it off; KGConstructionPipeline turns it on."""
     if "entity_kind" not in members.columns:
         members = members.withColumn(
             "entity_kind", F.lit(IRI).cast("tinyint"))
@@ -563,6 +572,53 @@ def local_bulk_extract(
     members = members.withColumn(
         store_col, F.coalesce(F.col(store_col), F.lit(_NULL_STORE))
     )
+    if giant_store_threshold is not None:
+        giants = [
+            r[0]
+            for r in triples.groupBy(store_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > giant_store_threshold)
+            .select(store_col)
+            .collect()
+        ]
+        if giants:
+            from extract_cbd_shape_spark.model import QUAD_COLS
+            from extract_cbd_shape_spark.operators.extract import (
+                BulkCBDShapeExtractor,
+            )
+
+            parts = [
+                local_bulk_extract(
+                    triples.filter(~F.col(store_col).isin(giants)),
+                    members.filter(~F.col(store_col).isin(giants)),
+                    shapes_graph, shape, store_col, bulk,
+                    cbd_default_graph, n_buckets, graphs_to_ignore,
+                    vectorize, None,
+                )
+            ]
+            ex = BulkCBDShapeExtractor(
+                triples.sparkSession, shapes_graph=shapes_graph,
+                cbd_default_graph=cbd_default_graph,
+            )
+            # One global-engine run per giant store: its frontier joins
+            # spread the store over every executor, and per-store runs
+            # preserve store isolation (no cross-store subject walks).
+            for g in giants:
+                res, _ = ex.extract(
+                    triples.filter(F.col(store_col) == g).drop(store_col),
+                    members.filter(F.col(store_col) == g).select(
+                        "entity", "entity_kind"
+                    ),
+                    shape=shape,
+                    graphs_to_ignore=graphs_to_ignore,
+                    bulk=bulk,
+                )
+                parts.append(res.select("entity", *QUAD_COLS))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
     # Re-alias to fresh attributes: when ``members`` derives from
     # ``triples`` (the common subjects-of-the-corpus case), cogroup
     # dedups shared attribute ids and silently DROPS the duplicated

@@ -64,7 +64,7 @@ class KGConstructionPipeline:
         if not (resume and self._stage_done("raw_triples", "extract_pages")):
             raw = extract_page_triples(pages).select(
                 F.col("subject"),
-                F.lit(IRI).cast("tinyint").alias("subject_kind"),
+                F.col("subject_kind").cast("tinyint"),
                 F.col("predicate"),
                 F.col("object_value"),
                 F.col("object_kind").cast("tinyint"),
@@ -95,15 +95,23 @@ class KGConstructionPipeline:
                 )
 
                 t2 = raw.drop("bucket").withColumnRenamed("page_url", "store_key")
-                subjects = t2.select(
+                # IRI subjects only: blank-node subjects (page-scoped
+                # labels) are reached through CBD blank closure, not
+                # seeded as members.
+                subjects = t2.filter(F.col("subject_kind") == IRI).select(
                     "store_key", F.col("subject").alias("entity")
                 ).distinct()
                 results = local_bulk_extract(
                     t2, subjects, shapes_graph=self.shapes_graph,
                     shape=self.shape,
+                    # skew guard: a pathological page with more quads
+                    # than this routes through the global engine instead
+                    # of one straggler task
+                    giant_store_threshold=2_000_000,
                 )
             else:
-                subjects = raw.select(F.col("subject").alias("entity")).distinct()
+                subjects = raw.filter(F.col("subject_kind") == IRI).select(
+                    F.col("subject").alias("entity")).distinct()
                 ex = BulkCBDShapeExtractor(spark, shapes_graph=self.shapes_graph)
                 results, flags = ex.extract(
                     raw.drop("page_url", "bucket"), subjects,

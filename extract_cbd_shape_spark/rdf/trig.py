@@ -31,12 +31,15 @@ from extract_cbd_shape_spark.model import (
     XSD_INTEGER,
     Quad,
     Term,
+    encode_quoted,
 )
 
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<comment>\#[^\n]*)
+  | (?P<qopen><<)
+  | (?P<qclose>>>)
   | (?P<iri><[^<>"{}|^`\\\s]*>)
   | (?P<string>"""
     + r'"""(?:[^"\\]|\\.|"(?!""))*"""'
@@ -236,6 +239,17 @@ class TrigParser:
 
     def _term(self) -> Term:
         kind, v = self.toks.next()
+        if kind == "qopen":
+            # RDF-star quoted triple << s p o >> — an opaque term whose
+            # identity is the canonical serialization (model.QUOTED;
+            # reference termType 'Quad', lib/Utils.ts:75-84).
+            s = self._term()
+            p = self._predicate()
+            o = self._term()
+            k2, v2 = self.toks.next()
+            if k2 != "qclose":
+                raise ValueError(f"expected '>>', got {v2!r}")
+            return encode_quoted(s, p, o)
         if kind == "iri":
             return Term(IRI, self._resolve_iri(v[1:-1]))
         if kind == "blank":

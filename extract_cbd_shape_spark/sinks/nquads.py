@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from extract_cbd_shape_spark.model import BLANK, LITERAL, XSD_STRING
+from extract_cbd_shape_spark.model import BLANK, LITERAL, QUOTED, XSD_STRING
 
 
 def _escape_literal(c: Column) -> Column:
@@ -24,7 +24,12 @@ def _term(value: Column, kind: Column, lang: Column = None,
     iri = F.concat(F.lit("<"), value, F.lit(">"))
     blank = F.concat(F.lit("_:"), value)
     if lang is None:
-        return F.when(kind == BLANK, blank).otherwise(iri)
+        # QUOTED values are already canonical << ... >> spellings
+        return (
+            F.when(kind == BLANK, blank)
+            .when(kind == QUOTED, value)
+            .otherwise(iri)
+        )
     lit = F.concat(F.lit('"'), _escape_literal(value), F.lit('"'))
     lit = F.when(
         lang.isNotNull(), F.concat(lit, F.lit("@"), lang)
@@ -37,6 +42,7 @@ def _term(value: Column, kind: Column, lang: Column = None,
     return (
         F.when(kind == LITERAL, lit)
         .when(kind == BLANK, blank)
+        .when(kind == QUOTED, value)
         .otherwise(iri)
     )
 

@@ -67,6 +67,12 @@ def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFra
             F.col("lang").alias("lang"),
             F.col("source").alias("source"),
             F.slice(toks, 1, N_MENTIONS).alias("mentions"),
+            # nested object WITHOUT an @id: a JSON-LD parser allocates a
+            # document-local blank node for it (every page gets _:b0) —
+            # exercises the cross-page blank-label scoping rule.
+            F.struct(
+                F.concat(F.lit("author-"), F.col("doc_id") % 1000).alias("name")
+            ).alias("author"),
         )
     )
     html = F.concat(
@@ -88,19 +94,33 @@ def synth_pages(spark: SparkSession, sf_dir: str, replicate: int = 1) -> DataFra
 
 
 _TRIPLES_SCHEMA = (
-    "url string, subject string, predicate string, "
+    "url string, subject string, subject_kind tinyint, predicate string, "
     "object_value string, object_kind tinyint"
 )
 
 
+def scope_blank_label(url: str, local_label: str) -> str:
+    """Blank-node labels are document-scoped (reference RDFMap keeps
+    blank and named values apart per store, lib/Shape.ts:115-138): two
+    pages' ``_:b0`` must NOT merge when their triples meet in a global
+    union. Skolemize with a page fingerprint before the union —
+    SURVEY §7(c)."""
+    import hashlib
+
+    fp = hashlib.md5(url.encode("utf-8")).hexdigest()[:16]
+    return f"_:{fp}:{local_label[2:] if local_label.startswith('_:') else local_label}"
+
+
 def extract_page_triples(pages: DataFrame) -> DataFrame:
     """Vectorized JSON-LD -> triples extraction; pure function of the
-    html bytes (mapInPandas, Arrow batches)."""
+    html bytes (mapInPandas, Arrow batches). Nested objects without an
+    @id become blank nodes with page-scoped labels (scope_blank_label)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in
-                   ("url", "subject", "predicate", "object_value", "object_kind")}
+                   ("url", "subject", "subject_kind", "predicate",
+                    "object_value", "object_kind")}
             for url, html in zip(pdf["url"], pdf["html"]):
                 doc = bytes(html).decode("utf-8")
                 m = _SCRIPT_RE.search(doc)
@@ -111,19 +131,26 @@ def extract_page_triples(pages: DataFrame) -> DataFrame:
                 if subj is None:
                     continue
 
-                def emit(p, o, kind=2):
+                def emit(s, sk, p, o, kind=2):
                     out["url"].append(url)
-                    out["subject"].append(subj)
+                    out["subject"].append(s)
+                    out["subject_kind"].append(sk)
                     out["predicate"].append(p)
                     out["object_value"].append(o)
                     out["object_kind"].append(kind)
 
                 if payload.get("lang") is not None:
-                    emit("kg:lang", payload["lang"])
+                    emit(subj, 0, "kg:lang", payload["lang"])
                 if payload.get("source") is not None:
-                    emit("kg:source", payload["source"])
+                    emit(subj, 0, "kg:source", payload["source"])
                 for tok in payload.get("mentions", []):
-                    emit("kg:mentions", tok)
+                    emit(subj, 0, "kg:mentions", tok)
+                author = payload.get("author")
+                if isinstance(author, dict) and author.get("name") is not None:
+                    # parser-local label is _:b0 on every page; scope it
+                    b = scope_blank_label(url, "_:b0")
+                    emit(subj, 0, "kg:author", b, 1)
+                    emit(b, 1, "kg:name", author["name"])
             yield pd.DataFrame(out)
 
     return pages.select("url", "html").mapInPandas(run, _TRIPLES_SCHEMA)

@@ -227,3 +227,32 @@ def test_vec_gate_rejects_complex_shapes():
         sg, Term(IRI, EX + "SequencePathShape")) is None
     assert compile_single_hop_links(
         sg, Term(IRI, EX + "InversePathShape")) is None
+
+
+def test_giant_store_fallback_parity(spark):
+    """A store above giant_store_threshold routes through the global
+    engine; results must equal the pure store-local run."""
+    from extract_cbd_shape_spark.operators.kgtriples import (
+        KBO_SHAPE_IRI, KBO_SHAPE_TTL, kbo_members)
+
+    triples, members = kbo_members(spark, "/root/testdata/sf0.001")
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    shape = Term(IRI, KBO_SHAPE_IRI)
+    # two stores: one giant (every order with key < 1000), one normal
+    giant_key = F.when(F.col("subject").rlike("^[ma]:[0-9]{1,3}$"),
+                       F.lit("giant")).otherwise(F.split(F.col("subject"), ":")[1])
+    t2 = triples.withColumn("store_key", giant_key)
+    m2 = members.withColumn(
+        "store_key",
+        F.when(F.col("entity").rlike("^m:[0-9]{1,3}$"), F.lit("giant"))
+        .otherwise(F.split(F.col("entity"), ":")[1]),
+    )
+    kw = dict(shapes_graph=shapes, shape=shape, n_buckets=8)
+    plain = local_bulk_extract(t2, m2, **kw)
+    routed = local_bulk_extract(t2, m2, giant_store_threshold=500, **kw)
+    pset = {tuple(r) for r in
+            plain.select("entity", "subject", "predicate", "object_value").collect()}
+    rset = {tuple(r) for r in
+            routed.select("entity", "subject", "predicate", "object_value").collect()}
+    assert pset == rset
+    assert len(pset) > 0

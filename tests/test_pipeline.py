@@ -71,3 +71,46 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     }
     assert snaps_before == snaps_after
     assert manifests2["triples"]["rows"] == manifests["triples"]["rows"]
+
+
+def test_blank_label_scoping_across_pages(spark):
+    """Two pages each yield a parser-local _:b0 author node; after the
+    global union their labels must NOT merge: each document's CBD pulls
+    in exactly its own author name (reference blank scoping,
+    lib/Shape.ts:115-138; SURVEY §7c)."""
+    from extract_cbd_shape_spark.model import IRI, Term
+    from extract_cbd_shape_spark.operators import BulkCBDShapeExtractor
+    from extract_cbd_shape_spark.sources.pages import (
+        extract_page_triples,
+        scope_blank_label,
+        synth_pages,
+    )
+
+    pages = synth_pages(spark, SF).limit(2)
+    raw = extract_page_triples(pages)
+    rows = raw.collect()
+    blanks = {r.subject for r in rows if r.subject_kind == 1}
+    assert len(blanks) == 2, "each page must get its own scoped label"
+    # global-engine extraction: author name must follow its own doc
+    triples = raw.select(
+        "subject", F.col("subject_kind").cast("tinyint"), "predicate",
+        "object_value", F.col("object_kind").cast("tinyint"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(None).cast("tinyint").alias("graph_kind"),
+    )
+    docs = sorted({r.subject for r in rows if r.subject_kind == 0})
+    ex = BulkCBDShapeExtractor(spark)
+    res, _ = ex.extract(triples, [Term(IRI, d) for d in docs])
+    per_doc = {
+        d: {r.object_value for r in res.collect()
+            if r.entity == d and r.predicate == "kg:name"}
+        for d in docs
+    }
+    for d in docs:
+        assert len(per_doc[d]) == 1, per_doc
+    assert per_doc[docs[0]] != per_doc[docs[1]] or len(set(
+        v for s in per_doc.values() for v in s)) == 1
+    # deterministic scoping helper
+    assert scope_blank_label("u1", "_:b0") != scope_blank_label("u2", "_:b0")

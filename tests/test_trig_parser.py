@@ -75,3 +75,41 @@ def test_all_reference_fixtures_parse():
     ):
         quads = parse_trig(open(f).read())
         assert quads, f
+
+
+def test_rdf_star_quoted_triples_roundtrip(spark):
+    """RDF-star: << s p o >> parses to an opaque QUOTED term whose
+    identity is the canonical serialization (reference termType 'Quad',
+    lib/Utils.ts:75-84); survives extraction and the N-Quads sink."""
+    from extract_cbd_shape_spark.model import (
+        IRI, QUOTED, Term, quad_to_row, quad_schema)
+    from extract_cbd_shape_spark.operators import BulkCBDShapeExtractor
+    from extract_cbd_shape_spark.rdf import parse_trig
+    from extract_cbd_shape_spark.sinks.nquads import to_nquads
+
+    src = """
+@prefix ex: <http://example.org/> .
+ex:x ex:says << ex:a ex:b "hi"@en >> .
+<< ex:a ex:b "hi"@en >> ex:certainty "0.9" .
+ex:x ex:name "X" .
+"""
+    quads = parse_trig(src)
+    quoted = [q for q in quads if q.object.kind == QUOTED]
+    assert len(quoted) == 1
+    qsubj = [q for q in quads if q.subject.kind == QUOTED]
+    assert len(qsubj) == 1
+    # identical quoted triples must share one identity
+    assert quoted[0].object.value == qsubj[0].subject.value
+
+    df = spark.createDataFrame([quad_to_row(q) for q in quads], quad_schema())
+    res, _ = BulkCBDShapeExtractor(spark).extract(
+        df, [Term(IRI, "http://example.org/x")])
+    got = {(r.predicate, r.object_value, r.object_kind) for r in res.collect()}
+    assert ("http://example.org/says",
+            '<< <http://example.org/a> <http://example.org/b> "hi"@en >>',
+            QUOTED) in got
+
+    # sink round-trip: serialize every quad, reparse, same multiset
+    lines = [r.line for r in to_nquads(df).collect()]
+    reparsed = parse_trig("\n".join(lines))
+    assert sorted(map(str, reparsed)) == sorted(map(str, quads))
