@@ -367,12 +367,11 @@ class _Run:
         self.trie_parts: List[DataFrame] = [
             self.members_df.select("member_id", F.lit(ROOT_WORD).alias("word"))
         ]
-        self.visited_cbd = self.spark.createDataFrame(
-            [], "member_id long, node string, node_kind tinyint"
-        )
-        # Driver-known emptiness: elides the memo-skip join on the first
-        # CBD pass (visited is empty by construction).
-        self._visited_cbd_nonempty = False
+        # visited set = lazy union of already-checkpointed frontier
+        # parts: anti-joins are duplicate-insensitive, so no per-wave
+        # distinct/checkpoint job is needed to maintain it. An empty
+        # parts list elides the memo-skip branch driver-side.
+        self._visited_cbd_parts: List[DataFrame] = []
         self.processed_parts: List[DataFrame] = []  # for deref flagging
 
     # --------------------------------------------------------------- helpers
@@ -399,6 +398,20 @@ class _Run:
                 )
             )
         return df
+
+    def _visited_cbd_df(self) -> DataFrame:
+        out = self._visited_cbd_parts[0]
+        for p in self._visited_cbd_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _visited_cbd_add(self, part: DataFrame) -> None:
+        self._visited_cbd_parts.append(part)
+        # deep recursions: cap lazy plan growth
+        if len(self._visited_cbd_parts) > 8:
+            self._visited_cbd_parts = [
+                self._visited_cbd_df().distinct().localCheckpoint()
+            ]
 
     def _trie_df(self) -> DataFrame:
         out = self.trie_parts[0]
@@ -444,11 +457,12 @@ class _Run:
         base = work.select(
             "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
         )
-        if not self._visited_cbd_nonempty:
+        if not self._visited_cbd_parts:
             frontier = base
         else:
+            visited = self._visited_cbd_df()
             frontier = base.join(
-                self.visited_cbd, ["member_id", "node", "node_kind"], "left_anti"
+                visited, ["member_id", "node", "node_kind"], "left_anti"
             )
             # Memo-skipped nodes: the reference re-runs the star there
             # (extractRecursively always calls CBD; only the BLANK recursion
@@ -458,7 +472,7 @@ class _Run:
             # one-hop join; empty whenever nothing was skipped (round 1,
             # where the whole branch is elided driver-side).
             skipped = base.join(
-                self.visited_cbd, ["member_id", "node", "node_kind"], "left_semi"
+                visited, ["member_id", "node", "node_kind"], "left_semi"
             )
             sk = skipped.hint("shuffle_hash").alias("f").join(
                 self.triples.alias("t"),
@@ -481,14 +495,7 @@ class _Run:
                     _sql_extend_word(F.col("pos"), "+", F.col("predicate")).alias("word"),
                 ).distinct()
             )
-        self._visited_cbd_nonempty = True
-        self.visited_cbd = (
-            self.visited_cbd.unionByName(
-                frontier.select("member_id", "node", "node_kind")
-            )
-            .distinct()
-            .localCheckpoint()
-        )
+        self._visited_cbd_add(frontier.select("member_id", "node", "node_kind"))
         t = self.triples
         while True:
             # shuffle_hash: build on the (small) frontier, stream the
@@ -528,7 +535,7 @@ class _Run:
                     F.col("_new_pos").alias("pos"),
                 )
                 .join(
-                    self.visited_cbd,
+                    self._visited_cbd_df(),
                     ["member_id", "node", "node_kind"],
                     "left_anti",
                 )
@@ -542,13 +549,7 @@ class _Run:
             ).localCheckpoint()
             if self._empty(nxt):
                 return
-            self.visited_cbd = (
-                self.visited_cbd.unionByName(
-                    nxt.select("member_id", "node", "node_kind")
-                )
-                .distinct()
-                .localCheckpoint()
-            )
+            self._visited_cbd_add(nxt.select("member_id", "node", "node_kind"))
             frontier = nxt.select(
                 "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
             )
