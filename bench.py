@@ -46,6 +46,19 @@ def build_spark(cpus: int):
             os.environ.get("SPARK_GRAFT_ADVISORY", "1m"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Shuffle/checkpoint scratch on tmpfs when available: the
+        # sandbox's /tmp is one shared virtio disk whose bandwidth
+        # saturates long before 32 cores do (and adds huge run-to-run
+        # variance); RAM-backed scratch models a cluster node's local
+        # NVMe. Override with SPARK_GRAFT_LOCAL_DIR.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local"
+                if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -619,17 +619,11 @@ def local_bulk_extract(
                 out = out.unionByName(p)
             return out
 
-    # Re-alias to fresh attributes: when ``members`` derives from
-    # ``triples`` (the common subjects-of-the-corpus case), cogroup
-    # dedups shared attribute ids and silently DROPS the duplicated
-    # column from the right-side pandas frame.
-    members = members.select(
-        F.col(store_col).alias("_m_store"),
-        F.col("entity").alias("_m_entity"),
-        F.col("entity_kind").alias("_m_kind"),
-    )
     spark = triples.sparkSession
-    nb = n_buckets or spark.sparkContext.defaultParallelism * 4
+    # Partition count decoupled from session parallelism: enough
+    # partitions that store-hash collisions balance (law of large
+    # numbers), scaled up with the cluster.
+    p = n_buckets or max(64, spark.sparkContext.defaultParallelism * 2)
     shapes_local = shapes_graph
     shape_local = shape
     ignore_local = tuple((g.kind, g.value) for g in graphs_to_ignore)
@@ -640,22 +634,53 @@ def local_bulk_extract(
             "object_value", "object_kind", "object_lang",
             "object_datatype", "graph", "graph_kind"]
 
-    tb = triples.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col(store_col)), F.lit(nb)).cast("int")
+    # SINGLE-shuffle physical plan: member seeds ride along as marker
+    # rows (predicate NULL — impossible for a real quad) in the same
+    # stream, the union is hash-repartitioned by store (NO sort — unlike
+    # groupBy/cogroup applyInPandas, which sorts every partition by
+    # key), and mapInPandas consumes whole partitions. Store isolation
+    # is enforced inside the kernel by the store column, so partition =
+    # a coarse bucket of many stores.
+    tq = triples.select(
+        F.col(store_col),
+        "subject", "subject_kind", "predicate", "object_value",
+        "object_kind", "object_lang", "object_datatype", "graph",
+        "graph_kind",
     )
-    mb = members.withColumn(
-        "_bucket", F.pmod(F.xxhash64(F.col("_m_store")), F.lit(nb)).cast("int")
+    mq = members.select(
+        F.col(store_col),
+        F.col("entity").alias("subject"),
+        F.col("entity_kind").cast("tinyint").alias("subject_kind"),
+        F.lit(None).cast("string").alias("predicate"),
+        F.lit(None).cast("string").alias("object_value"),
+        F.lit(0).cast("tinyint").alias("object_kind"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(None).cast("tinyint").alias("graph_kind"),
     )
+    combined = tq.unionByName(mq).repartition(p, F.col(store_col))
 
-    def run(key, tpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+    def run_partition(batches) -> "Iterable[pd.DataFrame]":
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        is_member = pdf["predicate"].isna()
+        mpdf = pdf[is_member].rename(
+            columns={store_col: "_m_store", "subject": "_m_entity",
+                     "subject_kind": "_m_kind"}
+        )[["_m_store", "_m_entity", "_m_kind"]]
+        tpdf = pdf[~is_member]
         if mpdf.empty or tpdf.empty:
-            return pd.DataFrame(columns=cols)
+            return
         if vec_plan is not None:
             links, root_key = vec_plan
-            return _vec_extract_bucket(
+            yield _vec_extract_bucket(
                 tpdf, mpdf, store_col, links, root_key, bulk,
                 cbd_default_graph, set(ignore_local), cols,
             )
+            return
         out_rows: List[tuple] = []
         member_groups = {
             k: [(int(ek), ev) for ek, ev in zip(g["_m_kind"], g["_m_entity"])]
@@ -686,10 +711,6 @@ def local_bulk_extract(
                               graphs_to_ignore=ignore_local,
                               cbd_default_graph=cbd_default_graph)
             )
-        return pd.DataFrame(out_rows, columns=cols)
+        yield pd.DataFrame(out_rows, columns=cols)
 
-    return (
-        tb.groupBy("_bucket")
-        .cogroup(mb.groupBy("_bucket"))
-        .applyInPandas(run, RESULT_SCHEMA)
-    )
+    return combined.mapInPandas(run_partition, RESULT_SCHEMA)

@@ -34,6 +34,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 LO = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 HI = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "16"))
+N_SAMPLES = int(os.environ.get("SPARK_GRAFT_SAMPLES", "2"))
 
 RUNNER = r'''
 import json, shutil, sys, tempfile, time
@@ -158,7 +159,7 @@ JOBS = [
 ]
 
 
-def run(job: str, cpus: int) -> dict:
+def _run_once(job: str, cpus: int) -> dict:
     code = "REPO_PATH = " + repr(REPO) + "\n" + RUNNER
     out = subprocess.run(
         [sys.executable, "-c", code, job, str(cpus), SF_DIR, str(REPLICATE)],
@@ -169,6 +170,16 @@ def run(job: str, cpus: int) -> dict:
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"no RESULT for {job}@{cpus}: {out.stdout[-1500:]} "
                        f"{out.stderr[-1500:]}")
+
+
+def run(job: str, cpus: int) -> dict:
+    """min of N_SAMPLES fresh-JVM runs: the sandbox's virtualized box
+    has +-40% single-run noise (GC, page cache, host neighbors); the
+    minimum is the least-contaminated estimate of the job's cost."""
+    samples = [_run_once(job, cpus) for _ in range(N_SAMPLES)]
+    best = min(samples, key=lambda s: s["sec"])
+    best["samples_sec"] = [round(s["sec"], 1) for s in samples]
+    return best
 
 
 def main():
