@@ -180,21 +180,29 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFram
 
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
                    threshold: float = 0.7) -> DataFrame:
-    """Exact Jaccard over shingle sets for candidate pairs only."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    xa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    xb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(xa, "doc_a")
-        .join(xb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    """Exact Jaccard over shingle sets for candidate pairs only.
+
+    Physical shape: each doc's (distinct) shingles are packed into ONE
+    array row, candidate pairs join against two array columns, and the
+    intersection is a JVM hash-set op (array_intersect) per pair. The
+    relational alternative — explode pairs x shingles and re-join on
+    (doc, shingle) — shuffles |pairs| * |avg shingles| tiny rows
+    (hundreds of millions at corpus scale) and dominated the whole
+    dedup pipeline; this shape shuffles |pairs| wide rows instead."""
+    # collect_set dedups per doc inside a small-group aggregation, so
+    # callers may pass raw (non-distinct) shingle rows — a corpus-wide
+    # distinct() is a 10^7+-key hash agg whose allocation pressure
+    # serializes on a shared heap and is avoided entirely.
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
+    sets = sets.withColumn("n", F.size("s"))
+    pa = sets.select(F.col("doc_id").alias("doc_a"),
+                     F.col("s").alias("_sa"), F.col("n").alias("na"))
+    pb = sets.select(F.col("doc_id").alias("doc_b"),
+                     F.col("s").alias("_sb"), F.col("n").alias("nb"))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
@@ -205,11 +213,15 @@ def minhash_lsh_dups(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", threshold: float = 0.7) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
 
-    The shingle set feeds three consumers (signatures, sizes, the
-    verify join) — persist it once instead of re-exploding the corpus
-    per consumer; at 100 TB this is the difference between one and
-    four passes over the text."""
-    sh = shingle_sets(docs, id_col, text_col).persist()
+    The shingle rows feed both consumers (signatures, the verify sets)
+    — persist them once instead of re-exploding the corpus per
+    consumer; at 100 TB this is the difference between one and four
+    passes over the text. Raw (non-distinct) rows on purpose: MinHash's
+    min() is duplicate-insensitive and the verify agg dedups per doc
+    with collect_set, so the corpus-wide distinct() — a giant hash agg
+    that does not scale on allocation-bound stages — is unnecessary."""
+    sh = shingle_rows(docs, id_col, text_col).select(
+        "doc_id", "shingle").persist()
     sigs = minhash_signatures(sh)
     pairs = lsh_candidate_pairs(sigs).persist()
     return jaccard_verify(pairs, sh, threshold)
