@@ -170,6 +170,45 @@ def _q_kbo_bulk_extract_local(spark, sf_dir):
     ).select("entity", "subject", "predicate", "object_value")
 
 
+_STORE_LAYOUT_V = "v1"
+
+
+def _q_kbo_bulk_extract_store(spark, sf_dir):
+    """Same extraction as kbo_bulk_extract over a PRE-BUCKETED store —
+    the zero-shuffle flagship regime: the corpus is bucketed by store
+    once at ingest (materialize_store, cached on disk per sf), then
+    extraction is scan -> Arrow kernel -> result with no exchange at
+    all. Same oracle as the other two engines."""
+    import hashlib
+    import os
+
+    from extract_cbd_shape_spark.operators.local_extract import (
+        local_bulk_extract_prebucketed,
+        materialize_store,
+        read_store,
+    )
+
+    key = hashlib.md5(f"{sf_dir}:{_STORE_LAYOUT_V}".encode()).hexdigest()[:10]
+    # RAM-backed by default (same rationale as bench scratch: the
+    # sandbox's one virtio disk is the bottleneck, not the cores).
+    cache_root = os.environ.get(
+        "SPARK_GRAFT_STORE_CACHE",
+        "/dev/shm/kbo_store_cache"
+        if os.path.isdir("/dev/shm") else "/tmp/kbo_store_cache",
+    )
+    path = os.path.join(cache_root, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        triples, members = kbo_members(spark, sf_dir)
+        t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
+        m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+        materialize_store(t2, m2, path)
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    return local_bulk_extract_prebucketed(
+        read_store(spark, path), shapes_graph=shapes,
+        shape=Term(IRI, KBO_SHAPE_IRI),
+    ).select("entity", "subject", "predicate", "object_value")
+
+
 def _q_path_closure(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -475,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_extract_order": _q_shape_extract_order,
         "kbo_bulk_extract": _q_kbo_bulk_extract,
         "kbo_bulk_extract_local": _q_kbo_bulk_extract_local,
+        "kbo_bulk_extract_store": _q_kbo_bulk_extract_store,
         "path_closure": _q_path_closure,
         "q1_pricing": _q_q1_pricing,
         "q3_revenue": _q_q3_revenue,
@@ -699,6 +739,28 @@ SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
 )
 """,
         "kbo_bulk_extract_local": """
+WITH m AS (SELECT o_orderkey AS k FROM orders)
+SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
+  SELECT k, 'm:'||k AS subject, 'rdf:type' AS predicate,
+         'kbo:legalEntity' AS object_value FROM m
+  UNION ALL SELECT k, 'm:'||k, 'rdf:type', 'kbo:Enterprise' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:isVersionOf', 'v:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyStatus',
+            'kbo:JuridicalSituation_000' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyType',
+            'kbo:JuridicalForm_014' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:legalName', 'Company '||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:registeredAddress', 'a:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||(k % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 7) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 13) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:establishment', 'e:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:status', 'kbo:Status_AC' FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:fullAddress', 'Street '||k FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:postCode', (k % 9999)::VARCHAR FROM m
+)
+""",
+        "kbo_bulk_extract_store": """
 WITH m AS (SELECT o_orderkey AS k FROM orders)
 SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
   SELECT k, 'm:'||k AS subject, 'rdf:type' AS predicate,

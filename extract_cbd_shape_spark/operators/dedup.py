@@ -20,7 +20,7 @@ from typing import List
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from extract_cbd_shape_spark.functions.text import tokens
+from extract_cbd_shape_spark.functions.text import shingles, tokens
 
 N_PERM = 12
 BAND_SIZE = 3
@@ -155,15 +155,8 @@ def minhash_signatures(sh: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """Band signatures and bucket-join docs sharing any band."""
-    bands = (
-        sigs.withColumn("band", F.col("j") - (F.col("j") % band_size))
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("", F.sort_array(
-            F.collect_list(F.concat_ws("=", F.col("j"), F.col("minhash")))
-        ))).alias("band_hash"))
-    )
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Bucket-join docs sharing any (band, band_hash)."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -176,6 +169,82 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFram
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Band signatures and bucket-join docs sharing any band."""
+    bands = (
+        sigs.withColumn("band", F.col("j") - (F.col("j") % band_size))
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("", F.sort_array(
+            F.collect_list(F.concat_ws("=", F.col("j"), F.col("minhash")))
+        ))).alias("band_hash"))
+    )
+    return _pairs_from_bands(bands)
+
+
+def minhash_doc_profiles(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 3,
+                         n_perm: int = N_PERM) -> DataFrame:
+    """(doc_id, s, mh0..mh{n-1}) — the WHOLE per-doc MinHash state
+    computed map-side in one scan: distinct shingle set ``s`` (array),
+    and every permutation's minhash via an array fold. No window sort,
+    no groupBy, no collect_set — per-doc state never crosses the
+    network, which is what makes MinHash scale: the only shuffles left
+    in the pipeline are the (tiny) band bucket join and the verify
+    joins.
+
+    The token array is persisted before the shingle transform: array
+    HOFs referencing a *projected expression* get it inlined per
+    element by Catalyst's projection collapse (re-tokenizing per
+    shingle, O(n^2) per doc); a cached relation's column is an
+    attribute, evaluated once. Docs with fewer than k tokens drop out
+    (empty shingle set), as in the relational formulation."""
+    tok = _spread(docs).select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+    ).persist()
+    a_c, b_c = minhash_perm_coeffs(n_perm)
+    prof = tok.select(
+        "doc_id", F.array_distinct(shingles(F.col("_t"), k)).alias("s")
+    ).filter(F.size("s") > 0)
+    H = F.transform(
+        F.col("s"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 13), 16, 10)
+        .cast("bigint") % MINHASH_MOD,
+    )
+    prof = prof.withColumn("_H", H)
+    def _fold(j):
+        # factory closure: F.aggregate reads the lambda's arity, so the
+        # usual `j=j` default-arg capture would add a third parameter
+        return lambda acc, x: F.least(
+            acc, (F.lit(a_c[j]) * x + F.lit(b_c[j])) % MINHASH_MOD)
+
+    mh = [
+        F.aggregate("_H", F.lit(MINHASH_MOD).cast("bigint"), _fold(j))
+        .alias(f"mh{j}")
+        for j in range(n_perm)
+    ]
+    return prof.select("doc_id", "s", *mh)
+
+
+def _bands_from_profiles(prof: DataFrame, n_perm: int = N_PERM,
+                         band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band, band_hash) rows from wide profiles — map-side
+    explode, no aggregation; band_hash formula identical to
+    ``lsh_candidate_pairs`` (md5 of the sorted "j=minhash" strings)."""
+    band_structs = []
+    for b0 in range(0, n_perm, band_size):
+        parts = F.sort_array(F.array(*[
+            F.concat_ws("=", F.lit(j), F.col(f"mh{j}"))
+            for j in range(b0, min(b0 + band_size, n_perm))
+        ]))
+        band_structs.append(F.struct(
+            F.lit(b0).alias("band"),
+            F.md5(F.concat_ws("", parts)).alias("band_hash"),
+        ))
+    return prof.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("_b")
+    ).select("doc_id", "_b.band", "_b.band_hash")
 
 
 def jaccard_verify(pairs: DataFrame, sh: DataFrame,
@@ -195,6 +264,15 @@ def jaccard_verify(pairs: DataFrame, sh: DataFrame,
     # serializes on a shared heap and is avoided entirely.
     sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("s"))
     sets = sets.withColumn("n", F.size("s"))
+    return jaccard_verify_sets(pairs, sets, threshold)
+
+
+def jaccard_verify_sets(pairs: DataFrame, sets: DataFrame,
+                        threshold: float = 0.7) -> DataFrame:
+    """``jaccard_verify`` over pre-built per-doc shingle arrays
+    (doc_id, s[, n])."""
+    if "n" not in sets.columns:
+        sets = sets.withColumn("n", F.size("s"))
     pa = sets.select(F.col("doc_id").alias("doc_a"),
                      F.col("s").alias("_sa"), F.col("n").alias("na"))
     pb = sets.select(F.col("doc_id").alias("doc_b"),
@@ -213,18 +291,17 @@ def minhash_lsh_dups(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", threshold: float = 0.7) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: (doc_a, doc_b, jaccard).
 
-    The shingle rows feed both consumers (signatures, the verify sets)
-    — persist them once instead of re-exploding the corpus per
-    consumer; at 100 TB this is the difference between one and four
-    passes over the text. Raw (non-distinct) rows on purpose: MinHash's
-    min() is duplicate-insensitive and the verify agg dedups per doc
-    with collect_set, so the corpus-wide distinct() — a giant hash agg
-    that does not scale on allocation-bound stages — is unnecessary."""
-    sh = shingle_rows(docs, id_col, text_col).select(
-        "doc_id", "shingle").persist()
-    sigs = minhash_signatures(sh)
-    pairs = lsh_candidate_pairs(sigs).persist()
-    return jaccard_verify(pairs, sh, threshold)
+    Physical shape (the 100 TB one): per-doc profiles — shingle set +
+    all minhashes — are computed MAP-SIDE in one scan and persisted;
+    bands are a map-side explode of the wide minhash columns. The only
+    shuffles in the whole pipeline are the band bucket self-join
+    (4 small rows per doc) and the two verify joins (|pairs| rows).
+    Earlier relational formulations shuffled the full shingle stream
+    three times (window sort, signature groupBy, verify collect_set)
+    and were memory-bandwidth-bound instead of CPU-bound."""
+    prof = minhash_doc_profiles(docs, id_col, text_col).persist()
+    pairs = _pairs_from_bands(_bands_from_profiles(prof)).persist()
+    return jaccard_verify_sets(pairs, prof.select("doc_id", "s"), threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",

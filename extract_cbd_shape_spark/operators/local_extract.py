@@ -528,6 +528,237 @@ def _vec_extract_bucket(
     return out[out_cols]
 
 
+# Sentinel for NULL store keys: NULL-store members and quads must not
+# be dropped silently (pandas groupby drops NaN keys), so both sides
+# coalesce to this value and still pair up as one store.
+_NULL_STORE = "\x00<null-store>"
+
+
+def _marker_stream(triples: DataFrame, members: DataFrame,
+                   store_col: str) -> DataFrame:
+    """Union quads with member-seed marker rows (predicate NULL —
+    impossible for a real quad) into ONE stream keyed by ``store_col``.
+    This is the layout both the shuffling engine and the pre-bucketed
+    store share: one hash-partition by store co-locates every member
+    with its quads, and the kernel tells the two row kinds apart by the
+    NULL predicate."""
+    if "entity_kind" not in members.columns:
+        members = members.withColumn(
+            "entity_kind", F.lit(IRI).cast("tinyint"))
+    triples = triples.withColumn(
+        store_col, F.coalesce(F.col(store_col), F.lit(_NULL_STORE))
+    )
+    members = members.withColumn(
+        store_col, F.coalesce(F.col(store_col), F.lit(_NULL_STORE))
+    )
+    tq = triples.select(
+        F.col(store_col),
+        "subject", "subject_kind", "predicate", "object_value",
+        "object_kind", "object_lang", "object_datatype", "graph",
+        "graph_kind",
+    )
+    mq = members.select(
+        F.col(store_col),
+        F.col("entity").alias("subject"),
+        F.col("entity_kind").cast("tinyint").alias("subject_kind"),
+        F.lit(None).cast("string").alias("predicate"),
+        F.lit(None).cast("string").alias("object_value"),
+        F.lit(0).cast("tinyint").alias("object_kind"),
+        F.lit(None).cast("string").alias("object_lang"),
+        F.lit(None).cast("string").alias("object_datatype"),
+        F.lit(None).cast("string").alias("graph"),
+        F.lit(None).cast("tinyint").alias("graph_kind"),
+    )
+    return tq.unionByName(mq)
+
+
+def _make_runner(
+    vec_plan,
+    shapes_local: Optional[ShapesGraph],
+    shape_local: Optional[Term],
+    ignore_local: Tuple[tuple, ...],
+    bulk: bool,
+    cbd_default_graph: bool,
+    store_col: str,
+    members_from_subjects: bool,
+    cols: List[str],
+):
+    """Build the mapInPandas partition function. ``members_from_subjects``
+    derives the member set per store inside the kernel (every distinct
+    IRI subject of the store — the crawl/pipeline regime) instead of
+    reading marker rows, which lets callers skip the seed-distinct
+    shuffle entirely."""
+
+    def run_partition(batches) -> "Iterable[pd.DataFrame]":
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        if members_from_subjects:
+            tpdf = pdf[pdf["predicate"].notna()]
+            subj = tpdf[tpdf["subject_kind"] == IRI]
+            mpdf = subj[[store_col, "subject", "subject_kind"]].drop_duplicates(
+                [store_col, "subject"]
+            ).rename(
+                columns={store_col: "_m_store", "subject": "_m_entity",
+                         "subject_kind": "_m_kind"}
+            )
+        else:
+            is_member = pdf["predicate"].isna()
+            mpdf = pdf[is_member].rename(
+                columns={store_col: "_m_store", "subject": "_m_entity",
+                         "subject_kind": "_m_kind"}
+            )[["_m_store", "_m_entity", "_m_kind"]]
+            tpdf = pdf[~is_member]
+        if mpdf.empty or tpdf.empty:
+            return
+        if vec_plan is not None:
+            links, root_key = vec_plan
+            yield _vec_extract_bucket(
+                tpdf, mpdf, store_col, links, root_key, bulk,
+                cbd_default_graph, set(ignore_local), cols,
+            )
+            return
+        out_rows: List[tuple] = []
+        member_groups = {
+            k: [(int(ek), ev) for ek, ev in zip(g["_m_kind"], g["_m_entity"])]
+            for k, g in mpdf.groupby("_m_store", sort=False)
+        }
+        lang = tpdf["object_lang"].to_numpy()
+        dt = tpdf["object_datatype"].to_numpy()
+        gr = tpdf["graph"].to_numpy()
+        gk = tpdf["graph_kind"].to_numpy()
+        quads_all = list(zip(
+            tpdf["subject"], tpdf["subject_kind"], tpdf["predicate"],
+            tpdf["object_value"], tpdf["object_kind"],
+            [None if pd.isna(x) else x for x in lang],
+            [None if pd.isna(x) else x for x in dt],
+            [None if pd.isna(x) else x for x in gr],
+            [None if pd.isna(x) else int(x) for x in gk],
+        ))
+        by_store: Dict[str, List[tuple]] = {}
+        for skey, q in zip(tpdf[store_col], quads_all):
+            by_store.setdefault(skey, []).append(q)
+        for skey, mlist in member_groups.items():
+            quads = by_store.get(skey)
+            if not quads:
+                continue
+            out_rows.extend(
+                extract_store(quads, mlist, shapes_local, shape_local,
+                              bulk=bulk,
+                              graphs_to_ignore=ignore_local,
+                              cbd_default_graph=cbd_default_graph)
+            )
+        yield pd.DataFrame(out_rows, columns=cols)
+
+    return run_partition
+
+
+OUT_COLS = ["entity", "subject", "subject_kind", "predicate",
+            "object_value", "object_kind", "object_lang",
+            "object_datatype", "graph", "graph_kind"]
+
+
+def materialize_store(
+    triples: DataFrame,
+    members: Optional[DataFrame],
+    path: str,
+    store_col: str = "store_key",
+    n_buckets: Optional[int] = None,
+) -> str:
+    """Ingest-time bucketing: write the combined member+quad stream
+    hash-partitioned by ``store_col`` as one parquet file per bucket.
+
+    This is the 100 TB layout: the corpus is shuffled by store ONCE when
+    it lands, and every subsequent extraction over it
+    (``local_bulk_extract_prebucketed``) runs with ZERO exchanges —
+    scan -> per-store kernel -> sink, embarrassingly parallel. The
+    production target is an Iceberg table ``partitionedBy(bucket(N,
+    store))``; on plain parquet one file per hash bucket gives the same
+    guarantee as long as readers never split a file (see
+    ``read_store``).
+
+    ``members=None`` writes quads only — for corpora whose member set is
+    derivable per store (every IRI subject: the crawl regime), extracted
+    later with ``members_from_subjects=True``."""
+    spark = triples.sparkSession
+    p = n_buckets or max(64, spark.sparkContext.defaultParallelism * 2)
+    if members is None:
+        combined = triples.withColumn(
+            store_col, F.coalesce(F.col(store_col), F.lit(_NULL_STORE))
+        ).select(
+            F.col(store_col),
+            "subject", "subject_kind", "predicate", "object_value",
+            "object_kind", "object_lang", "object_datatype", "graph",
+            "graph_kind",
+        )
+    else:
+        combined = _marker_stream(triples, members, store_col)
+    combined.repartition(p, F.col(store_col)).write.mode(
+        "overwrite").parquet(path)
+    return path
+
+
+def read_store(spark: SparkSession, path: str) -> DataFrame:
+    """Read a ``materialize_store`` table preserving store-completeness
+    per task: raises ``spark.sql.files.maxPartitionBytes`` above the
+    largest data file so the scan never SPLITS a file (splitting could
+    cut a store in half mid-file; COMBINING whole files is always safe —
+    a task then simply holds several complete buckets)."""
+    import os
+
+    biggest = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                biggest = max(biggest, os.path.getsize(os.path.join(root, fn)))
+    raw = spark.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728").strip().lower()
+    units = {"k": 1024, "m": 1024 ** 2, "g": 1024 ** 3, "t": 1024 ** 4}
+    s = raw[:-1] if raw.endswith("b") else raw
+    mult = 1
+    if s and s[-1] in units:
+        mult, s = units[s[-1]], s[:-1]
+    cur = int(s) * mult
+    if biggest >= cur:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(biggest + 1))
+    return spark.read.parquet(path)
+
+
+def local_bulk_extract_prebucketed(
+    store: DataFrame,
+    shapes_graph: Optional[ShapesGraph] = None,
+    shape: Optional[Term] = None,
+    store_col: str = "store_key",
+    bulk: bool = True,
+    cbd_default_graph: bool = False,
+    graphs_to_ignore: Sequence[Term] = (),
+    vectorize: bool = True,
+    members_from_subjects: bool = False,
+) -> DataFrame:
+    """Zero-shuffle extraction over a pre-bucketed store.
+
+    ``store`` is a ``materialize_store`` table (via ``read_store``) or
+    any DataFrame whose partitioning already co-locates each store's
+    rows in one partition — the engine adds NO exchange: the only
+    stages are scan -> Arrow kernel -> result. With
+    ``members_from_subjects=True`` the member seeds are derived inside
+    the kernel (distinct IRI subjects per store), so even the seed
+    ``distinct()`` shuffle disappears.
+
+    Skew note: the giant-store guard lives at ingest
+    (``materialize_store`` callers route oversized stores to the global
+    engine); by the time data is bucketed the skew decision has been
+    made."""
+    vec_plan = compile_single_hop_links(shapes_graph, shape) if vectorize else None
+    runner = _make_runner(
+        vec_plan, shapes_graph, shape,
+        tuple((g.kind, g.value) for g in graphs_to_ignore),
+        bulk, cbd_default_graph, store_col, members_from_subjects, OUT_COLS,
+    )
+    return store.mapInPandas(runner, RESULT_SCHEMA)
+
+
 def local_bulk_extract(
     triples: DataFrame,
     members: DataFrame,
@@ -559,19 +790,6 @@ def local_bulk_extract(
     applyInPandas task — the skew/OOM guard for web-scale corpora where
     one page can be 10^6 quads. Costs one extra aggregate scan, so the
     raw operator leaves it off; KGConstructionPipeline turns it on."""
-    if "entity_kind" not in members.columns:
-        members = members.withColumn(
-            "entity_kind", F.lit(IRI).cast("tinyint"))
-    # NULL store keys must not be dropped silently (pandas groupby drops
-    # NaN keys): coalesce to a sentinel so null-store members and quads
-    # still pair up as one store.
-    _NULL_STORE = "\x00<null-store>"
-    triples = triples.withColumn(
-        store_col, F.coalesce(F.col(store_col), F.lit(_NULL_STORE))
-    )
-    members = members.withColumn(
-        store_col, F.coalesce(F.col(store_col), F.lit(_NULL_STORE))
-    )
     if giant_store_threshold is not None:
         giants = [
             r[0]
@@ -624,93 +842,23 @@ def local_bulk_extract(
     # partitions that store-hash collisions balance (law of large
     # numbers), scaled up with the cluster.
     p = n_buckets or max(64, spark.sparkContext.defaultParallelism * 2)
-    shapes_local = shapes_graph
-    shape_local = shape
-    ignore_local = tuple((g.kind, g.value) for g in graphs_to_ignore)
     # Vectorized fast path: single-hop forward-predicate shape DAGs run
     # as columnar merges over the whole bucket (no per-member Python).
     vec_plan = compile_single_hop_links(shapes_graph, shape) if vectorize else None
-    cols = ["entity", "subject", "subject_kind", "predicate",
-            "object_value", "object_kind", "object_lang",
-            "object_datatype", "graph", "graph_kind"]
 
     # SINGLE-shuffle physical plan: member seeds ride along as marker
-    # rows (predicate NULL — impossible for a real quad) in the same
-    # stream, the union is hash-repartitioned by store (NO sort — unlike
-    # groupBy/cogroup applyInPandas, which sorts every partition by
-    # key), and mapInPandas consumes whole partitions. Store isolation
-    # is enforced inside the kernel by the store column, so partition =
-    # a coarse bucket of many stores.
-    tq = triples.select(
-        F.col(store_col),
-        "subject", "subject_kind", "predicate", "object_value",
-        "object_kind", "object_lang", "object_datatype", "graph",
-        "graph_kind",
+    # rows in the same stream, the union is hash-repartitioned by store
+    # (NO sort — unlike groupBy/cogroup applyInPandas, which sorts every
+    # partition by key), and mapInPandas consumes whole partitions.
+    # Store isolation is enforced inside the kernel by the store column,
+    # so partition = a coarse bucket of many stores. (Corpora that are
+    # bucketed by store at ingest skip even this one shuffle —
+    # materialize_store / local_bulk_extract_prebucketed.)
+    combined = _marker_stream(triples, members, store_col).repartition(
+        p, F.col(store_col))
+    runner = _make_runner(
+        vec_plan, shapes_graph, shape,
+        tuple((g.kind, g.value) for g in graphs_to_ignore),
+        bulk, cbd_default_graph, store_col, False, OUT_COLS,
     )
-    mq = members.select(
-        F.col(store_col),
-        F.col("entity").alias("subject"),
-        F.col("entity_kind").cast("tinyint").alias("subject_kind"),
-        F.lit(None).cast("string").alias("predicate"),
-        F.lit(None).cast("string").alias("object_value"),
-        F.lit(0).cast("tinyint").alias("object_kind"),
-        F.lit(None).cast("string").alias("object_lang"),
-        F.lit(None).cast("string").alias("object_datatype"),
-        F.lit(None).cast("string").alias("graph"),
-        F.lit(None).cast("tinyint").alias("graph_kind"),
-    )
-    combined = tq.unionByName(mq).repartition(p, F.col(store_col))
-
-    def run_partition(batches) -> "Iterable[pd.DataFrame]":
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True)
-        is_member = pdf["predicate"].isna()
-        mpdf = pdf[is_member].rename(
-            columns={store_col: "_m_store", "subject": "_m_entity",
-                     "subject_kind": "_m_kind"}
-        )[["_m_store", "_m_entity", "_m_kind"]]
-        tpdf = pdf[~is_member]
-        if mpdf.empty or tpdf.empty:
-            return
-        if vec_plan is not None:
-            links, root_key = vec_plan
-            yield _vec_extract_bucket(
-                tpdf, mpdf, store_col, links, root_key, bulk,
-                cbd_default_graph, set(ignore_local), cols,
-            )
-            return
-        out_rows: List[tuple] = []
-        member_groups = {
-            k: [(int(ek), ev) for ek, ev in zip(g["_m_kind"], g["_m_entity"])]
-            for k, g in mpdf.groupby("_m_store", sort=False)
-        }
-        lang = tpdf["object_lang"].to_numpy()
-        dt = tpdf["object_datatype"].to_numpy()
-        gr = tpdf["graph"].to_numpy()
-        gk = tpdf["graph_kind"].to_numpy()
-        quads_all = list(zip(
-            tpdf["subject"], tpdf["subject_kind"], tpdf["predicate"],
-            tpdf["object_value"], tpdf["object_kind"],
-            [None if pd.isna(x) else x for x in lang],
-            [None if pd.isna(x) else x for x in dt],
-            [None if pd.isna(x) else x for x in gr],
-            [None if pd.isna(x) else int(x) for x in gk],
-        ))
-        by_store: Dict[str, List[tuple]] = {}
-        for skey, q in zip(tpdf[store_col], quads_all):
-            by_store.setdefault(skey, []).append(q)
-        for skey, mlist in member_groups.items():
-            quads = by_store.get(skey)
-            if not quads:
-                continue
-            out_rows.extend(
-                extract_store(quads, mlist, shapes_local, shape_local,
-                              bulk=bulk,
-                              graphs_to_ignore=ignore_local,
-                              cbd_default_graph=cbd_default_graph)
-            )
-        yield pd.DataFrame(out_rows, columns=cols)
-
-    return combined.mapInPandas(run_partition, RESULT_SCHEMA)
+    return combined.mapInPandas(runner, RESULT_SCHEMA)

@@ -74,8 +74,13 @@ class KGConstructionPipeline:
                 F.lit(None).cast("tinyint").alias("graph_kind"),
                 F.col("url").alias("page_url"),
             )
+            # Store-complete by page: each page's triples land whole in
+            # one bucket file, so stage 2 extracts with ZERO shuffles
+            # (the one repartition here is the ingest-time bucketing a
+            # 100 TB corpus pays once, not per extraction).
             manifests["raw_triples"] = materialize_table(
-                raw, self._table("raw_triples"), "extract_pages"
+                raw, self._table("raw_triples"), "extract_pages",
+                bucket_by="page_url", store_complete=True,
             )
         raw = read_latest_snapshot(spark, self._table("raw_triples"))
 
@@ -92,23 +97,65 @@ class KGConstructionPipeline:
             if self.local_extraction:
                 from extract_cbd_shape_spark.operators.local_extract import (
                     local_bulk_extract,
+                    local_bulk_extract_prebucketed,
+                    read_store,
+                )
+                from extract_cbd_shape_spark.sinks.materialize import (
+                    latest_snapshot_path,
                 )
 
-                t2 = raw.drop("bucket").withColumnRenamed("page_url", "store_key")
-                # IRI subjects only: blank-node subjects (page-scoped
-                # labels) are reached through CBD blank closure, not
-                # seeded as members.
-                subjects = t2.filter(F.col("subject_kind") == IRI).select(
-                    "store_key", F.col("subject").alias("entity")
-                ).distinct()
-                results = local_bulk_extract(
-                    t2, subjects, shapes_graph=self.shapes_graph,
-                    shape=self.shape,
-                    # skew guard: a pathological page with more quads
-                    # than this routes through the global engine instead
-                    # of one straggler task
-                    giant_store_threshold=2_000_000,
-                )
+                m = latest_manifest(self._table("raw_triples"))
+                if m and m.get("store_complete") and m.get("bucket_by") == "page_url":
+                    # Zero-shuffle path: the snapshot is store-complete
+                    # per bucket file, read_store never splits a file,
+                    # and member seeds (distinct IRI subjects per page)
+                    # are derived inside the kernel — stage 2 is
+                    # scan -> Arrow kernel -> sink, no exchange at all.
+                    # Skew guard: one cheap count pass routes
+                    # pathological pages to the global engine.
+                    store = read_store(
+                        spark, latest_snapshot_path(self._table("raw_triples"))
+                    ).drop("bucket").withColumnRenamed("page_url", "store_key")
+                    giants = [
+                        r[0] for r in store.groupBy("store_key")
+                        .agg(F.count(F.lit(1)).alias("_n"))
+                        .filter(F.col("_n") > 2_000_000).collect()
+                    ]
+                    rest = store
+                    if giants:
+                        rest = store.filter(~F.col("store_key").isin(giants))
+                    results = local_bulk_extract_prebucketed(
+                        rest, shapes_graph=self.shapes_graph,
+                        shape=self.shape, members_from_subjects=True,
+                    )
+                    if giants:
+                        gq = store.filter(F.col("store_key").isin(giants))
+                        subjects = gq.filter(
+                            F.col("subject_kind") == IRI
+                        ).select("store_key", F.col("subject").alias("entity")
+                                 ).distinct()
+                        results = results.unionByName(local_bulk_extract(
+                            gq, subjects, shapes_graph=self.shapes_graph,
+                            shape=self.shape, giant_store_threshold=1_999_999,
+                        ))
+                else:
+                    # resumed from a pre-store-complete snapshot layout
+                    t2 = raw.drop("bucket").withColumnRenamed(
+                        "page_url", "store_key")
+                    # IRI subjects only: blank-node subjects (page-scoped
+                    # labels) are reached through CBD blank closure, not
+                    # seeded as members.
+                    subjects = t2.filter(F.col("subject_kind") == IRI).select(
+                        "store_key", F.col("subject").alias("entity")
+                    ).distinct()
+                    results = local_bulk_extract(
+                        t2, subjects, shapes_graph=self.shapes_graph,
+                        shape=self.shape,
+                        # skew guard: a pathological page with more quads
+                        # than this routes through the global engine
+                        # instead of one straggler task
+                        giant_store_threshold=2_000_000,
+                    )
             else:
                 subjects = raw.filter(F.col("subject_kind") == IRI).select(
                     F.col("subject").alias("entity")).distinct()

@@ -43,9 +43,18 @@ def materialize_table(
     stage: str,
     bucket_by: Optional[str] = "subject",
     n_buckets: int = 32,
+    store_complete: bool = False,
 ) -> dict:
     """Write df as the next snapshot of the table at ``path``.
-    Returns the manifest dict."""
+    Returns the manifest dict.
+
+    ``store_complete=True`` additionally repartitions by the bucket
+    value before writing, so each bucket lands as ONE file — a reader
+    that never splits files (``operators.local_extract.read_store``)
+    then sees every ``bucket_by`` group whole inside one task, which is
+    the precondition for zero-shuffle store-local extraction. This is
+    the parquet stand-in for Iceberg's ``partitionedBy(bucket(N, col))``
+    write distribution."""
     snaps = _snapshots(path)
     snap_id = len(snaps)
     snap_dir = os.path.join(path, f"snap-{snap_id:04d}")
@@ -55,6 +64,8 @@ def materialize_table(
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(bucket_by)), F.lit(n_buckets)).cast("int")
         )
+        if store_complete:
+            out = out.repartition(n_buckets, F.col("bucket"))
     writer = out.write.mode("overwrite")
     if bucket_by is not None:
         writer = writer.partitionBy("bucket")
@@ -82,6 +93,7 @@ def materialize_table(
         "rows": rows,
         "bucket_by": bucket_by,
         "n_buckets": n_buckets if bucket_by else None,
+        "store_complete": bool(store_complete and bucket_by),
         "partitions": per_partition,
     }
     os.makedirs(snap_dir, exist_ok=True)
@@ -95,6 +107,13 @@ def read_latest_snapshot(spark: SparkSession, path: str) -> Optional[DataFrame]:
     if not snaps:
         return None
     return spark.read.parquet(os.path.join(path, snaps[-1], "data"))
+
+
+def latest_snapshot_path(path: str) -> Optional[str]:
+    snaps = _snapshots(path)
+    if not snaps:
+        return None
+    return os.path.join(path, snaps[-1], "data")
 
 
 def latest_manifest(path: str) -> Optional[dict]:

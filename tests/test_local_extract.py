@@ -256,3 +256,40 @@ def test_giant_store_fallback_parity(spark):
             routed.select("entity", "subject", "predicate", "object_value").collect()}
     assert pset == rset
     assert len(pset) > 0
+
+
+def test_prebucketed_store_parity(spark, tmp_path):
+    """materialize_store + zero-shuffle extraction must equal the
+    shuffling engine, both with marker members and with members derived
+    from IRI subjects; the physical plan must contain no Exchange."""
+    from extract_cbd_shape_spark.operators.kgtriples import (
+        KBO_SHAPE_IRI, KBO_SHAPE_TTL, kbo_members)
+    from extract_cbd_shape_spark.operators.local_extract import (
+        local_bulk_extract_prebucketed, materialize_store, read_store)
+
+    triples, members = kbo_members(spark, "/root/testdata/sf0.001")
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    shape = Term(IRI, KBO_SHAPE_IRI)
+    t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
+    m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+
+    base = local_bulk_extract(t2, m2, shapes_graph=shapes, shape=shape)
+    bset = {tuple(r) for r in
+            base.select("entity", "subject", "predicate", "object_value").collect()}
+
+    cols = ["entity", "subject", "predicate", "object_value"]
+    st = read_store(spark, materialize_store(
+        t2, m2, str(tmp_path / "store"), n_buckets=8))
+    pre = local_bulk_extract_prebucketed(st, shapes_graph=shapes, shape=shape)
+    assert "Exchange" not in pre._jdf.queryExecution().executedPlan().toString()
+    pset = {tuple(r) for r in pre.select(*cols).collect()}
+    assert pset == bset and len(pset) > 0
+
+    # quads-only store; members derived per store from IRI subjects
+    # (KBO subjects are exactly the member IRIs + address blanks)
+    st2 = read_store(spark, materialize_store(
+        t2, None, str(tmp_path / "store2"), n_buckets=8))
+    pre2 = local_bulk_extract_prebucketed(
+        st2, shapes_graph=shapes, shape=shape, members_from_subjects=True)
+    p2set = {tuple(r) for r in pre2.select(*cols).collect()}
+    assert p2set == bset
