@@ -233,6 +233,23 @@ class _MemberRun:
 
     def extract_recursively(self, node: tuple, shape_id: Optional[Term],
                             pos: str) -> None:
+        """Trampoline over ``_extract_gen``: exact DFS order of the
+        natural recursion (each generator frame yields its nodeLink
+        targets in sequence) without CPython stack frames, so a
+        nodeLink chain deeper than the ~1000-frame recursion limit —
+        e.g. list-shaped data under a self-referential shape — runs in
+        the executor instead of raising RecursionError."""
+        stack = [self._extract_gen(node, shape_id, pos)]
+        while stack:
+            try:
+                child = next(stack[-1])
+            except StopIteration:
+                stack.pop()
+            else:
+                stack.append(self._extract_gen(*child))
+
+    def _extract_gen(self, node: tuple, shape_id: Optional[Term],
+                     pos: str):
         node4 = node if len(node) == 4 else (node[0], node[1], None, None)
         if node4[0] != LITERAL:
             memo = (node4[0], node4[1])
@@ -264,7 +281,7 @@ class _MemberRun:
                 # witness quads are NOT added (lib/CBDShapeExtractor.ts:421-428)
                 targets = self.match(nl.path_pattern, focus, collect=None)
             for tgt4, tpos in targets:
-                self.extract_recursively(tgt4, nl.link, tpos)
+                yield (tgt4, nl.link, tpos)
 
         if node4[0] == IRI:
             err = shape.required_are_not_present(frozenset(self.words), pos)

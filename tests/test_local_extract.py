@@ -293,3 +293,25 @@ def test_prebucketed_store_parity(spark, tmp_path):
         st2, shapes_graph=shapes, shape=shape, members_from_subjects=True)
     p2set = {tuple(r) for r in pre2.select(*cols).collect()}
     assert p2set == bset
+
+
+def test_deep_nodelink_chain_no_recursion_error():
+    """A nodeLink chain far deeper than CPython's recursion limit must
+    extract completely (ADVICE r2: extract_recursively was recursive
+    Python; now a generator trampoline)."""
+    n = 5000
+    shape_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:ChainShape a sh:NodeShape ;
+      sh:property [ sh:path ex:next ; sh:node ex:ChainShape ] .
+    """
+    sg = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    quads = [
+        (EX + f"n{i}", IRI, EX + "next", EX + f"n{i+1}", IRI,
+         None, None, None, None)
+        for i in range(n)
+    ]
+    rows = list(extract_store(
+        quads, [(IRI, EX + "n0")], sg, Term(IRI, EX + "ChainShape")))
+    assert len(rows) == n
