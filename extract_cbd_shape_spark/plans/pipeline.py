@@ -31,6 +31,11 @@ from extract_cbd_shape_spark.sinks.materialize import (
 )
 from extract_cbd_shape_spark.sources.pages import extract_page_triples
 
+# A page with more quads than this is "giant": it would OOM/straggle a
+# single store-local task, so it routes through the global fixpoint
+# engine instead. Detected once at ingest (manifest giant_stores).
+GIANT_PAGE_QUADS = 2_000_000
+
 
 class KGConstructionPipeline:
     def __init__(
@@ -81,6 +86,10 @@ class KGConstructionPipeline:
             manifests["raw_triples"] = materialize_table(
                 raw, self._table("raw_triples"), "extract_pages",
                 bucket_by="page_url", store_complete=True,
+                # skew detection is paid once at ingest: pages above the
+                # threshold are listed in the manifest and every later
+                # extraction routes them without re-scanning the corpus
+                giant_threshold=GIANT_PAGE_QUADS,
             )
         raw = read_latest_snapshot(spark, self._table("raw_triples"))
 
@@ -111,16 +120,18 @@ class KGConstructionPipeline:
                     # and member seeds (distinct IRI subjects per page)
                     # are derived inside the kernel — stage 2 is
                     # scan -> Arrow kernel -> sink, no exchange at all.
-                    # Skew guard: one cheap count pass routes
-                    # pathological pages to the global engine.
+                    # Skew guard: giant pages were identified at ingest
+                    # (manifest giant_stores) — no extra pass here.
                     store = read_store(
                         spark, latest_snapshot_path(self._table("raw_triples"))
                     ).drop("bucket").withColumnRenamed("page_url", "store_key")
-                    giants = [
-                        r[0] for r in store.groupBy("store_key")
-                        .agg(F.count(F.lit(1)).alias("_n"))
-                        .filter(F.col("_n") > 2_000_000).collect()
-                    ]
+                    giants = m.get("giant_stores")
+                    if giants is None:  # pre-threshold snapshot layout
+                        giants = [
+                            r[0] for r in store.groupBy("store_key")
+                            .agg(F.count(F.lit(1)).alias("_n"))
+                            .filter(F.col("_n") > GIANT_PAGE_QUADS).collect()
+                        ]
                     rest = store
                     if giants:
                         rest = store.filter(~F.col("store_key").isin(giants))
@@ -136,7 +147,8 @@ class KGConstructionPipeline:
                                  ).distinct()
                         results = results.unionByName(local_bulk_extract(
                             gq, subjects, shapes_graph=self.shapes_graph,
-                            shape=self.shape, giant_store_threshold=1_999_999,
+                            shape=self.shape,
+                            giant_store_threshold=GIANT_PAGE_QUADS - 1,
                         ))
                 else:
                     # resumed from a pre-store-complete snapshot layout
@@ -154,7 +166,7 @@ class KGConstructionPipeline:
                         # skew guard: a pathological page with more quads
                         # than this routes through the global engine
                         # instead of one straggler task
-                        giant_store_threshold=2_000_000,
+                        giant_store_threshold=GIANT_PAGE_QUADS,
                     )
             else:
                 subjects = raw.filter(F.col("subject_kind") == IRI).select(

@@ -44,6 +44,7 @@ def materialize_table(
     bucket_by: Optional[str] = "subject",
     n_buckets: int = 32,
     store_complete: bool = False,
+    giant_threshold: Optional[int] = None,
 ) -> dict:
     """Write df as the next snapshot of the table at ``path``.
     Returns the manifest dict.
@@ -54,7 +55,13 @@ def materialize_table(
     then sees every ``bucket_by`` group whole inside one task, which is
     the precondition for zero-shuffle store-local extraction. This is
     the parquet stand-in for Iceberg's ``partitionedBy(bucket(N, col))``
-    write distribution."""
+    write distribution.
+
+    ``giant_threshold`` records in the manifest the ``bucket_by`` values
+    with more than that many rows (``giant_stores``). Skew detection is
+    an ingest-time property of the data, so it is paid once here — with
+    map-side partial aggregation the pass is cheap — and every
+    downstream extraction routes giants without re-scanning the corpus."""
     snaps = _snapshots(path)
     snap_id = len(snaps)
     snap_dir = os.path.join(path, f"snap-{snap_id:04d}")
@@ -86,6 +93,13 @@ def materialize_table(
         rows = sum(p["rows"] for p in per_partition)
     else:
         rows = data_df.count()
+    giants = None
+    if giant_threshold is not None and bucket_by is not None:
+        giants = sorted(
+            r[0] for r in data_df.groupBy(bucket_by)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > giant_threshold).collect()
+        )
     manifest = {
         "snapshot": snap_id,
         "parent": snap_id - 1 if snap_id > 0 else None,
@@ -96,6 +110,9 @@ def materialize_table(
         "store_complete": bool(store_complete and bucket_by),
         "partitions": per_partition,
     }
+    if giants is not None:
+        manifest["giant_threshold"] = giant_threshold
+        manifest["giant_stores"] = giants
     os.makedirs(snap_dir, exist_ok=True)
     with open(os.path.join(snap_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
