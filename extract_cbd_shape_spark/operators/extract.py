@@ -223,9 +223,16 @@ class BulkCBDShapeExtractor:
             mdf = mdf.withColumn(
                 "member_id", F.xxhash64("entity", "entity_kind", "input_idx")
             ).localCheckpoint()
+            # Seed shape keys are compile-time constants unless the
+            # caller shipped a custom per-member shape_key column.
+            init_keys = (
+                {_shape_key(shape)}
+                if "shape_key" not in members.columns else None
+            )
             run = _Run(self, triples, mdf, bulk,
                        global_ignores=tuple(graphs_to_ignore or ()),
-                       store_partitioned=store_partitioned)
+                       store_partitioned=store_partitioned,
+                       initial_shape_keys=init_keys)
             return run.execute()
 
         norm: List[Member] = []
@@ -295,11 +302,14 @@ class _Run:
     def __init__(self, ex: BulkCBDShapeExtractor, triples: DataFrame,
                  members: Union[List[Member], DataFrame], bulk: bool,
                  global_ignores: Sequence[Term] = (),
-                 store_partitioned: bool = False):
+                 store_partitioned: bool = False,
+                 initial_shape_keys: Optional[set] = None):
         self.ex = ex
         self.spark = ex.spark
         self.bulk = bulk
         self.shapes = ex.shapes_graph
+        # Driver-known seed shape keys (None = unknown, collect once).
+        self.initial_shape_keys = initial_shape_keys
         # graphs ignored for EVERY member (DataFrame-members path, where
         # per-member ignore pairs have no sequence to come from)
         self.global_ignores = tuple(global_ignores)
@@ -323,6 +333,8 @@ class _Run:
                 "member_id long, entity string, entity_kind tinyint, "
                 "shape_key string, input_idx long",
             )
+            if self.initial_shape_keys is None:
+                self.initial_shape_keys = {r[3] for r in member_rows}
             self.ignored_pairs = (
                 self.spark.createDataFrame(ignore_rows, "member_id long, graph string")
                 if ignore_rows
@@ -756,21 +768,40 @@ class _Run:
         ).localCheckpoint()
 
         rounds = 0
+        # Shape keys are tracked DRIVER-SIDE: the seed keys are known at
+        # compile time (or computed once), and every later round's
+        # possible keys are exactly the nodeLink child keys of the
+        # shapes just processed — so the common linear-shape-DAG case
+        # never runs a per-round distinct().collect() (VERDICT r1 §8).
+        # Only when several keys are possible do we collect to prune,
+        # since processing a phantom key costs empty-frontier jobs.
+        candidates = self.initial_shape_keys
         while not self._empty(work) and rounds < self.ex.max_rounds:
             rounds += 1
-            shape_keys = [
-                r.shape_key
-                for r in work.select("shape_key").distinct().collect()
-            ]
+            if candidates is not None and len(candidates) == 1:
+                shape_keys = list(candidates)
+            else:
+                shape_keys = [
+                    r.shape_key
+                    for r in work.select("shape_key").distinct().collect()
+                ]
             new_work_parts: List[DataFrame] = []
+            next_candidates: set = set()
             for sk in shape_keys:
                 # work is checkpointed each round; the filter is cheap to
                 # recompute, no extra materialization needed.
-                sub = work.filter(
-                    F.col("shape_key").eqNullSafe(F.lit(sk).cast("string"))
-                )
+                if len(shape_keys) == 1:
+                    sub = work
+                else:
+                    sub = work.filter(
+                        F.col("shape_key").eqNullSafe(F.lit(sk).cast("string"))
+                    )
                 shape = self._resolve_shape(sk)
+                if shape is not None:
+                    for nl in shape.all_node_links():
+                        next_candidates.add(_shape_key(nl.link))
                 new_work_parts.extend(self._process_shape(sub, shape, sk))
+            candidates = next_candidates
             self._checkpoint_trie()
             if not new_work_parts:
                 break
