@@ -531,9 +531,19 @@ class _Run:
                 )
             ).drop("graph_is_member")
             new_word = _sql_extend_word(F.col("pos"), "+", F.col("predicate"))
-            joined = joined.withColumn("_new_pos", new_word).localCheckpoint()
-            if self._empty(joined):
-                return
+            joined = joined.withColumn("_new_pos", new_word)
+            # The star join stays LAZY: materializing the full quad
+            # output per wave is a corpus-sized checkpoint write (the
+            # profile's single biggest cost) just to derive the next
+            # frontier. Instead only the blank-children frontier — the
+            # one thing the next wave needs, and tiny after the BLANK
+            # filter that Catalyst pushes into the join — is
+            # checkpointed; quads and trie words are appended as lazy
+            # column-pruned projections of the same join and computed
+            # once by their eventual consumers (final dedup / gate
+            # joins). Inputs are checkpointed (store, frontier), so the
+            # lazy plan stays one join deep and waves never stack
+            # lineage.
             self.result_parts.append(joined.select("member_id", *QUAD_COLS))
             self.trie_parts.append(
                 joined.select("member_id", F.col("_new_pos").alias("word")).distinct()
@@ -815,17 +825,22 @@ class _Run:
             non_lit = nw.filter(F.col("node_kind") != LITERAL).join(
                 visited_shape, ["member_id", "node", "node_kind"], "left_anti"
             )
+            # Claim one row per (member, node) by minimum ``ord`` with a
+            # hash aggregate (partial map-side combine) instead of a
+            # row_number window: the window forced a full sort of the
+            # round's work set per partition. struct-min keeps the same
+            # winner (min ord = nodeLink declaration order) and makes
+            # ties deterministic (lexicographic on the remaining cols).
+            rest = [c for c in non_lit.columns
+                    if c not in ("member_id", "node", "node_kind")]
             claim = (
-                non_lit.withColumn(
-                    "_rn",
-                    F.row_number().over(
-                        Window.partitionBy("member_id", "node", "node_kind").orderBy(
-                            F.col("ord")
-                        )
-                    ),
+                non_lit.groupBy("member_id", "node", "node_kind")
+                .agg(F.min(F.struct(
+                    "ord", *[c for c in rest if c != "ord"])).alias("_w"))
+                .select(
+                    "member_id", "node", "node_kind",
+                    *[F.col(f"_w.{c}").alias(c) for c in rest],
                 )
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
             )
             lit_work = nw.filter(F.col("node_kind") == LITERAL)
             work = claim.unionByName(lit_work).localCheckpoint()
@@ -848,11 +863,16 @@ class _Run:
         results = self.result_parts[0] if self.result_parts else pickup.limit(0)
         for p in self.result_parts[1:]:
             results = results.unionByName(p)
-        results = (
-            results.dropDuplicates(["member_id", *QUAD_COLS])
-            .join(F.broadcast(self.members_df), "member_id")
-            .localCheckpoint()
+        results = results.dropDuplicates(["member_id", *QUAD_COLS]).join(
+            F.broadcast(self.members_df), "member_id"
         )
+        # Returned LAZY: eagerly checkpointing here materialized the
+        # full output once to storage and again at the caller's action —
+        # a second corpus-sized pass for nothing when the caller only
+        # counts/writes it. Only very deep recursions (many lazy parts)
+        # checkpoint, to bound plan-compile time.
+        if len(self.result_parts) > 32:
+            results = results.localCheckpoint()
 
         flags = self._compute_flags(results)
         return results, flags
@@ -1049,23 +1069,36 @@ class _Run:
                     F.col("member_id"), F.col("word").alias("pos")
                 ).distinct().withColumn("_found", F.lit(True))
                 joined = joined.join(tb, ["member_id", "pos"], "left")
+            if not emit:
+                # Elided branch: witness quads are never consumed (no
+                # result emission; nodeLink targets drop path_quads), so
+                # checkpoint only the narrow frontier — persisting the 9
+                # quad columns here was a corpus-sized write for nothing.
+                joined = joined.select(
+                    *pass_cols, "node", "node_kind", "node_lang",
+                    "node_datatype", "pos", "_q_predicate",
+                ).localCheckpoint()
+                targets_all = joined.withColumn(
+                    "path_quads",
+                    F.array().cast(f"array<{QUAD_STRUCT_DDL}>"),
+                ).select(*pass_cols, *_NODE_COLS, "_q_predicate")
             else:
-                joined = joined.withColumn("_found", F.lit(None).cast("boolean"))
-            joined = joined.localCheckpoint()
-
+                joined = joined.localCheckpoint()
+                quad_cols = [F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
+                found_miss = (
+                    F.col("_found").isNull() if "_found" in joined.columns
+                    else F.lit(True)
+                )
+                self.result_parts.append(
+                    joined.filter(found_miss).select("member_id", *quad_cols)
+                )
+                quad_struct = F.struct(*quad_cols)
+                targets_all = joined.withColumn(
+                    "path_quads", F.array(quad_struct)
+                ).select(*pass_cols, *_NODE_COLS, "_q_predicate")
             self.trie_parts.append(
                 joined.select("member_id", F.col("pos").alias("word")).distinct()
             )
-            quad_cols = [F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
-            if emit:
-                self.result_parts.append(
-                    joined.filter(F.col("_found").isNull()).select(
-                        "member_id", *quad_cols)
-                )
-            quad_struct = F.struct(*quad_cols)
-            targets_all = joined.withColumn(
-                "path_quads", F.array(quad_struct)
-            ).select(*pass_cols, *_NODE_COLS, "_q_predicate")
             for idx, pred in items:
                 path_obj = match_paths[idx]
                 tgt_df = targets_all.filter(
