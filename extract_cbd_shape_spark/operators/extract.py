@@ -772,10 +772,24 @@ class _Run:
             F.lit(ROOT_WORD).alias("pos"),
             F.lit("").alias("ord"),
             F.col("shape_key"),
-        ).localCheckpoint()
-        visited_shape = work.filter(F.col("node_kind") != LITERAL).select(
-            "member_id", "node", "node_kind"
-        ).localCheckpoint()
+        )
+        # members_df is checkpointed at ingest, so seed work/visited are
+        # one narrow projection away from materialized data — keep them
+        # lazy (eager checkpoints here re-wrote the member set twice).
+        # visited is maintained as a lazy union of per-round checkpointed
+        # work parts: the anti-join consumer reads each part from its
+        # checkpoint instead of recomputing the claim aggregate.
+        visited_parts: List[DataFrame] = [
+            work.filter(F.col("node_kind") != LITERAL).select(
+                "member_id", "node", "node_kind"
+            )
+        ]
+
+        def _visited_shape() -> DataFrame:
+            out = visited_parts[0]
+            for p in visited_parts[1:]:
+                out = out.unionByName(p)
+            return out
 
         rounds = 0
         # Shape keys are tracked DRIVER-SIDE: the seed keys are known at
@@ -821,9 +835,12 @@ class _Run:
             # maybeExtractRecursively memo: one shape extraction per
             # (member, node); literals are never memoized (RDFMap ignores
             # them, lib/Shape.ts:119-127).
-            nw = nw.dropDuplicates()
+            # No standalone dropDuplicates: the claim aggregate below
+            # already collapses non-literal rows to one per (member,
+            # node), and literal rows get their own dedup — a separate
+            # distinct would just add a shuffle of the same data.
             non_lit = nw.filter(F.col("node_kind") != LITERAL).join(
-                visited_shape, ["member_id", "node", "node_kind"], "left_anti"
+                _visited_shape(), ["member_id", "node", "node_kind"], "left_anti"
             )
             # Claim one row per (member, node) by minimum ``ord`` with a
             # hash aggregate (partial map-side combine) instead of a
@@ -842,11 +859,15 @@ class _Run:
                     *[F.col(f"_w.{c}").alias(c) for c in rest],
                 )
             )
-            lit_work = nw.filter(F.col("node_kind") == LITERAL)
+            lit_work = nw.filter(F.col("node_kind") == LITERAL).dropDuplicates()
             work = claim.unionByName(lit_work).localCheckpoint()
-            visited_shape = visited_shape.unionByName(
-                claim.select("member_id", "node", "node_kind")
-            ).distinct().localCheckpoint()
+            # The claimed rows are inside work's checkpoint — the next
+            # round's visited anti-join reads them from there for free.
+            visited_parts.append(
+                work.filter(F.col("node_kind") != LITERAL).select(
+                    "member_id", "node", "node_kind"
+                )
+            )
 
         # Named-graph member pickup (lib/CBDShapeExtractor.ts:317-324) —
         # graph filters do NOT apply here.
@@ -979,7 +1000,10 @@ class _Run:
                     F.concat(F.col("ord"), F.lit("."),
                              F.lit(f"{li:04x}")).alias("ord"),
                     F.lit(child_key).alias("shape_key"),
-                ).dropDuplicates()
+                )
+                # no per-part distinct: the caller's claim aggregate
+                # (non-literals) / literal dedup collapse duplicates in
+                # the same shuffle that unions the parts
             )
         return new_work
 
