@@ -165,6 +165,42 @@ ex:subject ex:first ex:false;
     assert "Don't find me" not in objs
 
 
+def test_nodelink_revisits_blank_extracted_node(spark):
+    """A nodeLink whose target was already CBD-extracted as a blank
+    child: the reference re-runs the star there (only blank recursion is
+    guarded, lib/CBDShapeExtractor.ts:389-391,501-505) so the quad set
+    and the topology words at the new position must both be intact. The
+    engine memo-skips the re-extraction but records the position words
+    via a dedicated one-hop join (ADVICE r1 #4)."""
+    shape_ttl = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S1 a sh:NodeShape ;
+  sh:property [ sh:path ex:p ] ;
+  sh:property [ sh:path ex:link ; sh:node ex:S2 ] .
+ex:S2 a sh:NodeShape ;
+  sh:property [ sh:path ex:q ; sh:minCount 1 ] .
+"""
+    data_ttl = """
+@prefix ex: <http://example.org/> .
+ex:E ex:p _:b ; ex:link _:b .
+_:b ex:q ex:V .
+"""
+    shapes = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    data = trig_to_df(spark, data_ttl)
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    results, flags = ex.extract(
+        data, [Term(IRI, EX + "E")], shape=Term(IRI, EX + "S1")
+    )
+    got = {
+        (r.subject, r.predicate, r.object_value) for r in results.collect()
+    }
+    preds = {p for _, p, _ in got}
+    assert preds == {EX + "p", EX + "link", EX + "q"}
+    assert results.count() == 3  # unique quads, star not double-emitted
+    assert flags.count() == 0  # required ex:q satisfied at the revisit
+
+
 # --- tests/06: shapes and named graphs ---
 
 

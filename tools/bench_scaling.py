@@ -42,7 +42,7 @@ import json, shutil, sys, tempfile, time
 sys.path.insert(0, REPO_PATH)
 job = sys.argv[1]; cpus = int(sys.argv[2]); sf_dir = sys.argv[3]
 replicate = int(sys.argv[4])
-kbo_rep = {"extract_global": max(1, replicate // 2),
+kbo_rep = {"extract_global": replicate,
            "extract_local": replicate}.get(job, 1)
 pipe_rep = replicate * 8
 mh_rep = replicate * 4
@@ -99,7 +99,13 @@ elif job == "extract_local":
     tl, ml = kbo_members(spark, sf_dir, replicate=kbo_rep)
     tl = tl.withColumn("store_key", F.split(F.col("subject"), ":")[1])
     ml = ml.withColumn("store_key", F.split(F.col("entity"), ":")[1])
-    st = read_store(spark, materialize_store(tl, ml, work + "/store"))
+    # Fixed bucket count at BOTH levels: identical input bytes, and
+    # enough tasks per core (256/8 = 32 waves at the hi level) that
+    # last-wave stragglers don't distort the efficiency ratio — the
+    # default (2x parallelism, min 64) left only 8 tasks/core at hi.
+    st = read_store(
+        spark, materialize_store(tl, ml, work + "/store", n_buckets=256)
+    )
     t0 = time.time()
     n = local_bulk_extract_prebucketed(
         st, shapes_graph=shapes, shape=shape).count()
