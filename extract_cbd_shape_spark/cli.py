@@ -90,6 +90,19 @@ def cmd_extract(args: argparse.Namespace) -> int:
         shapes_graph = ShapesGraph.from_quads(load_shape_quads(args.shapes))
         if args.shape_iri:
             shape = Term(IRI, args.shape_iri)
+        else:
+            # The reference CLI always pairs a shapes graph with a shape
+            # IRI (bin/extract.ts:49-58). Loading shapes but guiding by
+            # none would silently degrade to plain CBD, so default to
+            # the graph's only node shape; ambiguity is an error.
+            iris = sorted(v for (k, v) in shapes_graph.shapes if k == IRI)
+            if len(iris) == 1:
+                shape = Term(IRI, iris[0])
+            elif len(iris) > 1:
+                sys.exit(
+                    "--shapes has multiple node shapes; pick one with "
+                    "--shape-iri: " + ", ".join(iris)
+                )
 
     resolver: Dict[str, List[Quad]] = {}
     for spec in args.resolve or []:

@@ -22,6 +22,38 @@ def test_cli_extract_cbd_counts(spark, capsys):
     assert out == sorted(out)
 
 
+def test_cli_default_shape_iri(spark, capsys, tmp_path):
+    """--shapes without --shape-iri: a lone node shape becomes the
+    default (the reference CLI always pairs a shapes graph with a shape
+    id, bin/extract.ts:49-58); several shapes demand an explicit pick."""
+    (tmp_path / "shape.ttl").write_text(
+        "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:OnlyShape a sh:NodeShape ;\n"
+        "  sh:property [ sh:path ex:p ; sh:minCount 1 ] .\n"
+    )
+    (tmp_path / "data.ttl").write_text(
+        "<http://example.org/B> <http://example.org/p> \"v\" .\n"
+    )
+    rc = main(["extract", "--data", str(tmp_path / "data.ttl"),
+               "--shapes", str(tmp_path / "shape.ttl"),
+               "--entity", "http://example.org/B"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and '"v"' in out[0]
+
+    (tmp_path / "two.ttl").write_text(
+        "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:A a sh:NodeShape .\n"
+        "ex:B a sh:NodeShape .\n"
+    )
+    with pytest.raises(SystemExit):
+        main(["extract", "--data", str(tmp_path / "data.ttl"),
+              "--shapes", str(tmp_path / "two.ttl"),
+              "--entity", "http://example.org/B"])
+
+
 def test_cli_mermaid(spark, capsys):
     rc = main(["mermaid", SHAPE05, "http://example.org/AlternativePathShape"])
     assert rc == 0
