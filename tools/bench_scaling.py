@@ -43,7 +43,10 @@ sys.path.insert(0, REPO_PATH)
 job = sys.argv[1]; cpus = int(sys.argv[2]); sf_dir = sys.argv[3]
 replicate = int(sys.argv[4])
 kbo_rep = {"extract_global": replicate,
-           "extract_local": replicate}.get(job, 1)
+           "extract_local": replicate,
+           # interpreter kernel is ~8x the CPU per quad: quarter corpus
+           # keeps the cell wall-clock comparable
+           "extract_local_interp": max(1, replicate // 4)}.get(job, 1)
 pipe_rep = replicate * 8
 mh_rep = replicate * 4
 from bench import build_spark
@@ -84,7 +87,8 @@ if job == "extract_global":
     ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
     n = ex.extract(triples, members, shape=shape)[0].count()
     out = dict(sec=time.time() - t0, units=n)
-elif job == "extract_local":
+elif job in ("extract_local", "extract_local_interp"):
+    vectorize = job == "extract_local"
     from extract_cbd_shape_spark.operators.local_extract import (
         local_bulk_extract_prebucketed, materialize_store, read_store)
     wt, wm = kbo_members(spark, "/root/testdata/sf0.001")
@@ -92,7 +96,8 @@ elif job == "extract_local":
     wm = wm.withColumn("store_key", F.split(F.col("entity"), ":")[1])
     wst = read_store(spark, materialize_store(wt, wm, work + "/wstore"))
     local_bulk_extract_prebucketed(
-        wst, shapes_graph=shapes, shape=shape).count()  # warm
+        wst, shapes_graph=shapes, shape=shape,
+        vectorize=vectorize).count()  # warm
     # Ingest-time bucketing (materialize_store) is untimed: a corpus is
     # bucketed once when it lands, extractions run many times. The
     # timed job is the steady state: zero-shuffle scan -> kernel.
@@ -108,7 +113,7 @@ elif job == "extract_local":
     )
     t0 = time.time()
     n = local_bulk_extract_prebucketed(
-        st, shapes_graph=shapes, shape=shape).count()
+        st, shapes_graph=shapes, shape=shape, vectorize=vectorize).count()
     out = dict(sec=time.time() - t0, units=n)
 elif job == "pipeline":
     from extract_cbd_shape_spark.plans.pipeline import KGConstructionPipeline
@@ -173,6 +178,8 @@ JOBS = [
     ("extract_global", "bulk shape extraction, global engine (quads/s)"),
     ("extract_local",
      "bulk shape extraction, pre-bucketed store, zero-shuffle (quads/s)"),
+    ("extract_local_interp",
+     "same dataflow, interpreter kernel (CPU-bound control) (quads/s)"),
     ("pipeline", "KG pipeline e2e (triples/s)"),
     ("minhash", "MinHash-LSH dedup (docs/s)"),
 ]
