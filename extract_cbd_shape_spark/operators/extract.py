@@ -342,15 +342,17 @@ class _Run:
             )
 
         # Tag each triple with whether its graph is a member's named graph
-        # (bulk isolation rule, lib/CBDShapeExtractor.ts:79-99). At scale this
-        # is a broadcast semi-join against the member list, computed once.
+        # (bulk isolation rule, lib/CBDShapeExtractor.ts:79-99), computed
+        # once. No broadcast hint: the graph list scales with the member
+        # set, so AQE picks broadcast only when it truly fits; a giant
+        # member set degrades to a shuffle join instead of a driver OOM.
         t = triples
         if bulk:
             member_graphs = self.members_df.filter(
                 F.col("entity_kind") == IRI
             ).select(F.col("entity").alias("graph")).distinct()
             t = t.join(
-                F.broadcast(member_graphs.withColumn("graph_is_member", F.lit(True))),
+                member_graphs.withColumn("graph_is_member", F.lit(True)),
                 "graph",
                 "left",
             ).withColumn(
@@ -884,8 +886,12 @@ class _Run:
         results = self.result_parts[0] if self.result_parts else pickup.limit(0)
         for p in self.result_parts[1:]:
             results = results.unionByName(p)
+        # No broadcast hint: the member set scales with the corpus (at
+        # web scale it's billions of rows — building that on the driver
+        # is the failure mode). AQE sees the true build-side size at
+        # runtime and picks broadcast when members are genuinely small.
         results = results.dropDuplicates(["member_id", *QUAD_COLS]).join(
-            F.broadcast(self.members_df), "member_id"
+            self.members_df, "member_id"
         )
         # Returned LAZY: eagerly checkpointing here materialized the
         # full output once to storage and again at the caller's action —
