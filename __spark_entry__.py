@@ -42,6 +42,7 @@ from extract_cbd_shape_spark.operators.kgtriples import (
 )
 from extract_cbd_shape_spark.operators.linking import link_mentions
 from extract_cbd_shape_spark.operators.similarity import (
+    cosine_near_dups,
     cosine_topk,
     ivf_topk,
     lsh_topk,
@@ -446,6 +447,28 @@ def _q_lsh_topk(spark, sf_dir):
     return lsh_topk(e, q, k=5, n_planes=8)
 
 
+def _q_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-dup over a corpus with known duplicates:
+    the raw embeddings table is near-orthogonal (max pairwise cosine
+    ~0.51 at sf0.01), so — like the connected_components query
+    synthesizes sameAs edges — every 5th vector gets a deterministic
+    perturbed copy (+0.05 per component, cosine 0.92-0.95 vs the
+    original, id offset 1e6). The operator must recover those pairs
+    via banded sign-LSH candidates + exact cosine verify >= 0.9."""
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.transform("embedding", lambda y: y.cast("double")).alias("embedding"),
+    )
+    copies = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda y: y.cast("double") + F.lit(0.05)
+        ).alias("embedding"),
+    )
+    return cosine_near_dups(base.unionByName(copies), threshold=0.9)
+
+
 def _q_page_metrics(spark, sf_dir):
     """Batch run of the streaming windowed aggregation (same code path
     as streaming/incremental.streaming_page_metrics, minus watermark
@@ -535,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": _q_lsh_buckets,
         "ivf_topk": _q_ivf_topk,
         "lsh_topk": _q_lsh_topk,
+        "embedding_cosine_dups": _q_embedding_dups,
         "page_metrics_hourly": _q_page_metrics,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
@@ -1003,6 +1027,44 @@ FROM (SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
       FROM scored)
 WHERE rank <= 5
+""",
+        "embedding_cosine_dups": """
+WITH corpus AS (
+  SELECT vec_id, list_transform(embedding, y -> y::DOUBLE) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_transform(embedding, y -> y::DOUBLE + 0.05)
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+proj AS (
+  SELECT vec_id, j, sum(x * (((i * 37 + j * 101) % 11) - 5)) AS p
+  FROM (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) - 1 AS i
+        FROM corpus)
+  CROSS JOIN range(0, 16) r(j)
+  GROUP BY vec_id, j
+),
+buck AS (
+  SELECT vec_id, j // 2 AS band,
+         sum(CASE WHEN p > 0 THEN 1 << (j % 2) ELSE 0 END)::BIGINT AS bucket
+  FROM proj GROUP BY vec_id, j // 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+  FROM buck a
+  JOIN buck b ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT left_id, right_id,
+         round((SELECT sum(a * b)
+                FROM (SELECT unnest(x.e) AS a, unnest(y.e) AS b))
+             / (sqrt((SELECT sum(a * a) FROM (SELECT unnest(x.e) AS a)))
+              * sqrt((SELECT sum(b * b) FROM (SELECT unnest(y.e) AS b)))),
+               4) AS score
+  FROM cand
+  JOIN corpus x ON x.vec_id = left_id
+  JOIN corpus y ON y.vec_id = right_id
+)
+SELECT left_id, right_id, score FROM scored WHERE score >= 0.9
 """,
         "page_metrics_hourly": """
 SELECT strftime(date_trunc('hour',

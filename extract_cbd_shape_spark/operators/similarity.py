@@ -89,6 +89,84 @@ def _cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def banded_sign_buckets(embeddings: DataFrame, n_bands: int = 8,
+                        planes_per_band: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, band, bucket): sign-LSH split into bands, MinHash-band
+    style — a pair is a near-dup candidate if it collides in ANY band,
+    so recall decays geometrically in missed bands instead of linearly
+    in planes. Plane j (global index) weight for dimension i is the
+    deterministic ((i*37 + j*101) % 11) - 5 (mirrors exactly in the
+    DuckDB oracle; production swaps in a broadcast table of random
+    hyperplanes). All bands are computed in ONE pass over the vectors
+    (arrays built per row, then exploded) — no per-band scan."""
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+
+    def _weigh(j):
+        return lambda x, i: x.cast("double") * (
+            ((i * 37 + j * 101) % 11) - 5
+        ).cast("double")
+
+    bands = []
+    for band in range(n_bands):
+        bucket = None
+        for p in range(planes_per_band):
+            j = band * planes_per_band + p
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("_v"),
+                    F.sequence(F.lit(0), F.size("_v") - 1),
+                    _weigh(j),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        bands.append(
+            F.struct(
+                F.lit(band).alias("band"), bucket.cast("bigint").alias("bucket")
+            )
+        )
+    return e.select(
+        "vec_id", F.explode(F.array(*bands)).alias("_bb")
+    ).select("vec_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+
+def cosine_near_dups(embeddings: DataFrame, threshold: float = 0.9,
+                     n_bands: int = 8, planes_per_band: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (left_id, right_id, score)
+    with left_id < right_id and round(cosine, 4) >= threshold.
+
+    Scale story: candidates come from a (band, bucket) equi-join —
+    work is bounded by bucket occupancy, never all-pairs; the exact
+    cosine verify runs only on candidates. At 100 TB the bucket id is
+    the shuffle key (same shape as minhash_lsh_dups); a hot bucket is
+    tamed by raising planes_per_band (finer buckets) at the cost of
+    more bands for the same recall."""
+    b = banded_sign_buckets(embeddings, n_bands, planes_per_band, id_col, vec_col)
+    left = b.select(F.col("vec_id").alias("left_id"), "band", "bucket")
+    right = b.select(F.col("vec_id").alias("right_id"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    return (
+        cand.join(e.select(F.col("_id").alias("left_id"), F.col("_v").alias("_lv")),
+                  "left_id")
+        .join(e.select(F.col("_id").alias("right_id"), F.col("_v").alias("_rv")),
+              "right_id")
+        .withColumn("score", F.round(_cosine(F.col("_lv"), F.col("_rv")), 4))
+        .filter(F.col("score") >= threshold)
+        .select("left_id", "right_id", "score")
+    )
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              centroid_stride: int = 16, nprobe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

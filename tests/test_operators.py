@@ -14,7 +14,11 @@ from extract_cbd_shape_spark.operators.dedup import (
     simhash,
 )
 from extract_cbd_shape_spark.operators.linking import link_mentions, mentions_from_docs
-from extract_cbd_shape_spark.operators.similarity import cosine_topk, sign_lsh_buckets
+from extract_cbd_shape_spark.operators.similarity import (
+    cosine_near_dups,
+    cosine_topk,
+    sign_lsh_buckets,
+)
 
 
 TEXT_A = "the quick brown fox jumps over the lazy dog again and again today"
@@ -117,3 +121,23 @@ def test_sign_lsh_buckets_deterministic(spark):
     b = {r.vec_id: r.bucket for r in sign_lsh_buckets(vecs).collect()}
     assert b[0] == b[1]
     assert b[0] != b[2]
+
+
+def test_cosine_near_dups_planted_pairs(spark):
+    """Banded sign-LSH + exact verify recovers planted near-duplicates
+    (a slightly perturbed copy of each base vector) and emits no pair
+    below the cosine threshold."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i % 4 == 0:  # planted near-dup: tiny additive perturbation
+            rows.append((i + 1000, [x + 0.02 for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_near_dups(vecs, threshold=0.95).collect()
+    pairs = {(r.left_id, r.right_id) for r in got}
+    assert {(i, i + 1000) for i in range(0, 40, 4)} <= pairs
+    assert all(r.score >= 0.95 for r in got)
