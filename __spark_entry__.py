@@ -484,6 +484,62 @@ def _q_page_metrics(spark, sf_dir):
     )
 
 
+def _q_stream_sessions(spark, sf_dir):
+    """REAL Structured Streaming run of the stateful sessionization
+    operator (applyInPandasWithState, event-time timeout): wave 1 is
+    the whole synthetic page corpus, wave 2 one far-future page per
+    lang — which closes every wave-1 session by exceeding the gap, so
+    the emitted (closed) sessions equal the batch gap-sessionization
+    the DuckDB oracle computes with lag + cumsum."""
+    import tempfile
+
+    from extract_cbd_shape_spark.sources.pages import synth_pages
+    from extract_cbd_shape_spark.streaming import (
+        pages_stream,
+        streaming_lang_sessions,
+    )
+
+    root = tempfile.mkdtemp(prefix="sessions_")
+    pages_dir, out, ckpt = f"{root}/pages", f"{root}/out", f"{root}/ckpt"
+
+    def drain():
+        q = (
+            streaming_lang_sessions(
+                pages_stream(spark, pages_dir), gap_seconds=10,
+                watermark="10 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pages = synth_pages(spark, sf_dir)
+    pages.coalesce(1).write.mode("append").parquet(pages_dir)
+    drain()
+    pages.groupBy("lang").agg(F.max("warc_ts").alias("m")).select(
+        F.lit("wave2").alias("url"),
+        (F.col("m") + F.expr("INTERVAL 365 DAYS")).alias("warc_ts"),
+        F.lit(b"").alias("html"),
+        F.lit("").alias("text"),
+        "lang",
+    ).coalesce(1).write.mode("append").parquet(pages_dir)
+    drain()
+    return spark.read.parquet(out).select(
+        "lang",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_pages",
+    )
+
+
 def _q_media_decode(spark, sf_dir):
     return decode_media(synth_media(spark, sf_dir)).select(
         "media_id", "kind", "width", "height", "payload_len", "checksum"
@@ -560,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": _q_lsh_topk,
         "embedding_cosine_dups": _q_embedding_dups,
         "page_metrics_hourly": _q_page_metrics,
+        "stream_lang_sessions": _q_stream_sessions,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
@@ -1072,6 +1129,32 @@ SELECT strftime(date_trunc('hour',
            '%Y-%m-%d %H:%M') AS window_start,
        lang, count(*) AS n_pages, sum(length(text))::BIGINT AS n_chars
 FROM documents GROUP BY 1, 2
+""",
+        "stream_lang_sessions": """
+WITH pages AS (
+  SELECT lang,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL '1 second'
+           AS warc_ts
+  FROM documents
+),
+b AS (
+  SELECT lang, warc_ts,
+         CASE WHEN epoch(warc_ts)
+                   - epoch(lag(warc_ts) OVER (PARTITION BY lang
+                                              ORDER BY warc_ts)) > 10
+              THEN 1 ELSE 0 END AS brk
+  FROM pages
+),
+g AS (
+  SELECT lang, warc_ts,
+         sum(brk) OVER (PARTITION BY lang ORDER BY warc_ts) AS sid
+  FROM b
+)
+SELECT lang,
+       strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       count(*)::BIGINT AS n_pages
+FROM g GROUP BY lang, sid
 """,
         "media_decode": f"""
 WITH {_MEDIA_CTE.strip()}

@@ -86,6 +86,88 @@ def stream_pages_to_triples(
     return writer.start()
 
 
+def streaming_lang_sessions(pages: DataFrame, gap_seconds: int = 10,
+                            watermark: str = "10 seconds") -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-lang session windows with a gap timeout. A session is a maximal
+    run of pages whose event times are <= ``gap_seconds`` apart; one row
+    is emitted per CLOSED session (lang, session_start, session_end,
+    n_pages). A session closes when a later page for the key arrives
+    more than ``gap_seconds`` after its end, or when the watermark
+    passes its end + gap (event-time timeout) — so state is bounded:
+    one open session per key, evicted by timeout.
+
+    Scale story: state is partitioned by the group key across
+    executors; per micro-batch each key's rows are sessionized with
+    vectorized pandas (sort + diff + cumsum — Python work is per
+    SESSION, never per row), and the carried open session merges with
+    the first batch session when the gap allows."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_seconds * 1000
+
+    def _emit(key, sessions):
+        return pd.DataFrame(
+            {
+                "lang": key[0],
+                "session_start": pd.to_datetime(
+                    [s[0] for s in sessions], unit="ms"
+                ),
+                "session_end": pd.to_datetime(
+                    [s[1] for s in sessions], unit="ms"
+                ),
+                "n_pages": [s[2] for s in sessions],
+            }
+        )
+
+    def _fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            closed = state.get
+            state.remove()
+            yield _emit(key, [closed])
+            return
+        ts = pd.concat([pdf["warc_ts"] for pdf in pdf_iter])
+        ms = (ts.astype("int64") // 1_000_000).sort_values().reset_index(
+            drop=True
+        )
+        sid = (ms.diff() > gap_ms).cumsum()
+        agg = ms.groupby(sid).agg(["min", "max", "size"])
+        sessions = [
+            (int(a), int(b), int(n))
+            for a, b, n in agg.itertuples(index=False, name=None)
+        ]
+        if state.exists:
+            s, e, n = state.get
+            if sessions[0][0] - e <= gap_ms:  # carried session continues
+                s2, e2, n2 = sessions[0]
+                sessions[0] = (min(s, s2), max(e, e2), n + n2)
+            else:
+                sessions.insert(0, (s, e, n))
+        closed, last = sessions[:-1], sessions[-1]
+        state.update(last)
+        # event-time timeout must sit above the current watermark
+        state.setTimeoutTimestamp(
+            max(last[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield _emit(key, closed)
+
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy("lang")
+        .applyInPandasWithState(
+            _fn,
+            "lang string, session_start timestamp, "
+            "session_end timestamp, n_pages long",
+            "start_ms long, end_ms long, n long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_page_metrics(pages: DataFrame, watermark: str = "1 hour",
                            window: str = "1 hour") -> DataFrame:
     """Per-(event-time window, lang) page counts with a watermark:

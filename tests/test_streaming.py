@@ -99,3 +99,67 @@ def test_windowed_metrics_with_watermark(spark, waves):
         )
     }
     assert got == want
+
+
+def test_stateful_sessions_gap_and_timeout(spark, tmp_path):
+    """applyInPandasWithState sessionization: a session closes either
+    when a later same-key page exceeds the gap (wave 2) or when the
+    watermark passes its end + gap with no new data for the key
+    (wave 3 advances the watermark via another key -> event-time
+    timeout fires for 'en')."""
+    from datetime import datetime, timedelta
+
+    from extract_cbd_shape_spark.streaming import (
+        pages_stream,
+        streaming_lang_sessions,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime(2024, 1, 1)
+
+    def page(lang, ts):
+        return (f"https://t/{lang}/{ts}", base + timedelta(seconds=ts),
+                b"<html></html>", "x", lang)
+
+    cols = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def drain(rows):
+        spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_dir)
+        q = (
+            streaming_lang_sessions(
+                pages_stream(spark, pages_dir), gap_seconds=10,
+                watermark="0 seconds",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.lang, int((r.session_start - base).total_seconds()),
+             int((r.session_end - base).total_seconds()), r.n_pages)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # wave 1: en has two gap-separated sessions in ONE batch — the
+    # first closes inside the function, the second stays open in state
+    got = drain([page("en", 1), page("en", 3), page("en", 30)])
+    assert got == {("en", 1, 3, 2)}
+
+    # wave 2: an en page 25s after the open session's end -> gap close
+    got = drain([page("en", 55)])
+    assert got == {("en", 1, 3, 2), ("en", 30, 30, 1)}
+
+    # wave 3 twice: de pages far ahead advance the watermark past the
+    # open en session's end + gap; its eviction needs a batch AFTER the
+    # watermark update, hence the second drain -> hasTimedOut path
+    drain([page("de", 120)])
+    got = drain([page("de", 125)])
+    assert ("en", 55, 55, 1) in got
