@@ -166,9 +166,12 @@ def _q_kbo_bulk_extract_local(spark, sf_dir):
     shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
     t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
     m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    # projection pushed through the Arrow boundary: the kernel emits
+    # only the 4 requested columns instead of all 10
     return local_bulk_extract(
-        t2, m2, shapes_graph=shapes, shape=Term(IRI, KBO_SHAPE_IRI)
-    ).select("entity", "subject", "predicate", "object_value")
+        t2, m2, shapes_graph=shapes, shape=Term(IRI, KBO_SHAPE_IRI),
+        columns=["entity", "subject", "predicate", "object_value"],
+    )
 
 
 _STORE_LAYOUT_V = "v1"
@@ -205,9 +208,14 @@ def _q_kbo_bulk_extract_store(spark, sf_dir):
         materialize_store(t2, m2, path)
     shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
     return local_bulk_extract_prebucketed(
-        read_store(spark, path), shapes_graph=shapes,
+        # input pruned at the scan (lang/datatype never traversed) and
+        # output projected inside the kernel: 8-col scan, 4-col Arrow
+        # return instead of 10/10
+        read_store(spark, path).drop("object_lang", "object_datatype"),
+        shapes_graph=shapes,
         shape=Term(IRI, KBO_SHAPE_IRI),
-    ).select("entity", "subject", "predicate", "object_value")
+        columns=["entity", "subject", "predicate", "object_value"],
+    )
 
 
 def _q_path_closure(spark, sf_dir):

@@ -61,6 +61,21 @@ RESULT_SCHEMA = (
     "object_datatype string, graph string, graph_kind tinyint"
 )
 
+_RESULT_TYPES = dict(
+    f.strip().rsplit(" ", 1) for f in RESULT_SCHEMA.split(", ")
+)
+
+
+def _projected_schema(columns: Sequence[str]) -> str:
+    """DDL for a subset of the result columns (operator-level projection
+    pushdown: Catalyst can't prune through mapInPandas, so the caller's
+    projection is pushed into the kernel's output schema — narrower
+    Arrow batches cross the Python/JVM boundary)."""
+    bad = [c for c in columns if c not in _RESULT_TYPES]
+    if bad:
+        raise ValueError(f"unknown result columns: {bad}")
+    return ", ".join(f"{c} {_RESULT_TYPES[c]}" for c in columns)
+
 
 class _Store:
     """In-memory quad store for ONE store slice, indexed the three ways
@@ -641,10 +656,15 @@ def _make_runner(
             k: [(int(ek), ev) for ek, ev in zip(g["_m_kind"], g["_m_entity"])]
             for k, g in mpdf.groupby("_m_store", sort=False)
         }
-        lang = tpdf["object_lang"].to_numpy()
-        dt = tpdf["object_datatype"].to_numpy()
-        gr = tpdf["graph"].to_numpy()
-        gk = tpdf["graph_kind"].to_numpy()
+        n = len(tpdf)
+
+        def _opt(col):  # pruned-input tolerance (see ``columns=``)
+            return tpdf[col].to_numpy() if col in tpdf else [None] * n
+
+        lang = _opt("object_lang")
+        dt = _opt("object_datatype")
+        gr = _opt("graph")
+        gk = _opt("graph_kind")
         quads_all = list(zip(
             tpdf["subject"], tpdf["subject_kind"], tpdf["predicate"],
             tpdf["object_value"], tpdf["object_kind"],
@@ -666,7 +686,7 @@ def _make_runner(
                               graphs_to_ignore=ignore_local,
                               cbd_default_graph=cbd_default_graph)
             )
-        yield pd.DataFrame(out_rows, columns=cols)
+        yield pd.DataFrame(out_rows, columns=OUT_COLS)[cols]
 
     return run_partition
 
@@ -752,6 +772,7 @@ def local_bulk_extract_prebucketed(
     graphs_to_ignore: Sequence[Term] = (),
     vectorize: bool = True,
     members_from_subjects: bool = False,
+    columns: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Zero-shuffle extraction over a pre-bucketed store.
 
@@ -766,14 +787,22 @@ def local_bulk_extract_prebucketed(
     Skew note: the giant-store guard lives at ingest
     (``materialize_store`` callers route oversized stores to the global
     engine); by the time data is bucketed the skew decision has been
-    made."""
+    made.
+
+    ``columns``: subset of the result columns to emit — projection
+    pushdown through the Arrow boundary (a caller's ``.select`` after
+    ``mapInPandas`` prunes AFTER the Python->JVM transfer; this prunes
+    before it). When the projection skips ``object_lang``/
+    ``object_datatype`` the caller may also drop them from the input
+    scan — the kernel never reads them for traversal."""
     vec_plan = compile_single_hop_links(shapes_graph, shape) if vectorize else None
+    cols = list(columns) if columns is not None else OUT_COLS
     runner = _make_runner(
         vec_plan, shapes_graph, shape,
         tuple((g.kind, g.value) for g in graphs_to_ignore),
-        bulk, cbd_default_graph, store_col, members_from_subjects, OUT_COLS,
+        bulk, cbd_default_graph, store_col, members_from_subjects, cols,
     )
-    return store.mapInPandas(runner, RESULT_SCHEMA)
+    return store.mapInPandas(runner, _projected_schema(cols))
 
 
 def local_bulk_extract(
@@ -788,9 +817,12 @@ def local_bulk_extract(
     graphs_to_ignore: Sequence[Term] = (),
     vectorize: bool = True,
     giant_store_threshold: Optional[int] = None,
+    columns: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Distributed wrapper: one shuffle by ``store_col``, then per-store
     extraction in applyInPandas (cogrouped with the member seeds).
+    ``columns``: projection pushdown into the kernel output schema (see
+    ``local_bulk_extract_prebucketed``).
 
     ``triples``: quad columns + ``store_col``; ``members``: ``entity``
     (string), optional ``entity_kind``, + ``store_col``.
@@ -828,7 +860,7 @@ def local_bulk_extract(
                     members.filter(~F.col(store_col).isin(giants)),
                     shapes_graph, shape, store_col, bulk,
                     cbd_default_graph, n_buckets, graphs_to_ignore,
-                    vectorize, None,
+                    vectorize, None, columns,
                 )
             ]
             ex = BulkCBDShapeExtractor(
@@ -848,7 +880,10 @@ def local_bulk_extract(
                     graphs_to_ignore=graphs_to_ignore,
                     bulk=bulk,
                 )
-                parts.append(res.select("entity", *QUAD_COLS))
+                giant_part = res.select("entity", *QUAD_COLS)
+                if columns is not None:
+                    giant_part = giant_part.select(*columns)
+                parts.append(giant_part)
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
@@ -873,9 +908,10 @@ def local_bulk_extract(
     # materialize_store / local_bulk_extract_prebucketed.)
     combined = _marker_stream(triples, members, store_col).repartition(
         p, F.col(store_col))
+    cols = list(columns) if columns is not None else OUT_COLS
     runner = _make_runner(
         vec_plan, shapes_graph, shape,
         tuple((g.kind, g.value) for g in graphs_to_ignore),
-        bulk, cbd_default_graph, store_col, False, OUT_COLS,
+        bulk, cbd_default_graph, store_col, False, cols,
     )
-    return combined.mapInPandas(runner, RESULT_SCHEMA)
+    return combined.mapInPandas(runner, _projected_schema(cols))

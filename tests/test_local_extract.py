@@ -315,3 +315,39 @@ def test_deep_nodelink_chain_no_recursion_error():
     rows = list(extract_store(
         quads, [(IRI, EX + "n0")], sg, Term(IRI, EX + "ChainShape")))
     assert len(rows) == n
+
+
+def test_projected_columns_parity(spark, tmp_path):
+    """columns= projection pushdown (kernel emits only the requested
+    columns through Arrow) must equal the post-hoc .select, on the
+    vectorized kernel, the per-member interpreter, and the zero-shuffle
+    pre-bucketed store with a pruned input scan."""
+    from extract_cbd_shape_spark.operators.kgtriples import (
+        KBO_SHAPE_IRI, KBO_SHAPE_TTL, kbo_members)
+    from extract_cbd_shape_spark.operators.local_extract import (
+        local_bulk_extract_prebucketed, materialize_store, read_store)
+
+    triples, members = kbo_members(spark, "/root/testdata/sf0.001")
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    shape = Term(IRI, KBO_SHAPE_IRI)
+    t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
+    m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    cols = ["entity", "subject", "predicate", "object_value"]
+
+    base = local_bulk_extract(t2, m2, shapes_graph=shapes, shape=shape)
+    bset = {tuple(r) for r in base.select(*cols).collect()}
+    assert len(bset) > 0
+
+    for vec in (True, False):
+        proj = local_bulk_extract(
+            t2, m2, shapes_graph=shapes, shape=shape, vectorize=vec,
+            columns=cols)
+        assert [f.name for f in proj.schema.fields] == cols
+        assert {tuple(r) for r in proj.collect()} == bset
+
+    st = read_store(spark, materialize_store(
+        t2, m2, str(tmp_path / "store"), n_buckets=8))
+    pre = local_bulk_extract_prebucketed(
+        st.drop("object_lang", "object_datatype"),
+        shapes_graph=shapes, shape=shape, columns=cols)
+    assert {tuple(r) for r in pre.collect()} == bset
