@@ -444,7 +444,15 @@ def _vec_extract_bucket(
         )
         mg["_gm"] = True
         tq = tq.merge(mg, on=["store", "graph"], how="left")
-        tq["_gm"] = tq["_gm"].notna() & (tq["graph_kind"] == IRI)
+        # plain numpy bool: nullable/Arrow-backed boolean columns turn
+        # into OBJECT arrays under .to_numpy(), where ``~`` applies
+        # Python's integer invert (~True == -2, truthy) — silent
+        # isolation bypass
+        tq["_gm"] = (
+            (tq["_gm"].notna() & (tq["graph_kind"] == IRI))
+            .fillna(False)
+            .astype(bool)
+        )
     else:
         tq["_gm"] = False
 
@@ -460,9 +468,13 @@ def _vec_extract_bucket(
     def graph_keep(hits: pd.DataFrame) -> pd.DataFrame:
         if not bulk:
             return hits
-        keep = ~hits["_gm"].to_numpy() | (
-            (hits["graph"] == hits["mval"]) & (hits["mkind"] == IRI)
-        ).to_numpy()
+        own = (
+            ((hits["graph"] == hits["mval"]) & (hits["mkind"] == IRI))
+            .fillna(False)
+            .astype(bool)
+            .to_numpy()
+        )
+        keep = ~hits["_gm"].to_numpy(dtype=bool) | own
         return hits[keep]
 
     def run_cbd(seeds: pd.DataFrame, visited: pd.DataFrame) -> pd.DataFrame:
@@ -615,17 +627,39 @@ def _make_runner(
     members_from_subjects: bool,
     cols: List[str],
 ):
-    """Build the mapInPandas partition function. ``members_from_subjects``
+    """Build the mapInArrow partition function. ``members_from_subjects``
     derives the member set per store inside the kernel (every distinct
     IRI subject of the store — the crawl/pipeline regime) instead of
     reading marker rows, which lets callers skip the seed-distinct
-    shuffle entirely."""
+    shuffle entirely.
 
-    def run_partition(batches) -> "Iterable[pd.DataFrame]":
-        pdfs = list(batches)
-        if not pdfs:
+    The boundary is ``mapInArrow`` + Arrow-backed pandas, not
+    ``mapInPandas``: converting millions of quad strings to numpy
+    object arrays and back costs more than the extraction itself
+    (measured ~1.55s round-trip vs ~1.2s at sf0.1), while
+    ``types_mapper=pd.ArrowDtype`` keeps string columns zero-copy on
+    the Arrow buffers through every merge."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            pa.field(c, pa.int8() if _RESULT_TYPES[c] == "tinyint"
+                     else pa.string())
+            for c in cols
+        ]
+    )
+
+    def _emit(out: pd.DataFrame):
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        yield from tbl.select(cols).cast(out_schema).to_batches()
+
+    def run_partition(batches) -> "Iterable[pa.RecordBatch]":
+        arrs = list(batches)
+        if not arrs:
             return
-        pdf = pd.concat(pdfs, ignore_index=True)
+        pdf = pa.Table.from_batches(arrs).to_pandas(
+            types_mapper=pd.ArrowDtype
+        )
         if members_from_subjects:
             tpdf = pdf[pdf["predicate"].notna()]
             subj = tpdf[tpdf["subject_kind"] == IRI]
@@ -646,10 +680,10 @@ def _make_runner(
             return
         if vec_plan is not None:
             links, root_key = vec_plan
-            yield _vec_extract_bucket(
+            yield from _emit(_vec_extract_bucket(
                 tpdf, mpdf, store_col, links, root_key, bulk,
                 cbd_default_graph, set(ignore_local), cols,
-            )
+            ))
             return
         out_rows: List[tuple] = []
         member_groups = {
@@ -686,7 +720,8 @@ def _make_runner(
                               graphs_to_ignore=ignore_local,
                               cbd_default_graph=cbd_default_graph)
             )
-        yield pd.DataFrame(out_rows, columns=OUT_COLS)[cols]
+        if out_rows:
+            yield from _emit(pd.DataFrame(out_rows, columns=OUT_COLS)[cols])
 
     return run_partition
 
@@ -802,7 +837,7 @@ def local_bulk_extract_prebucketed(
         tuple((g.kind, g.value) for g in graphs_to_ignore),
         bulk, cbd_default_graph, store_col, members_from_subjects, cols,
     )
-    return store.mapInPandas(runner, _projected_schema(cols))
+    return store.mapInArrow(runner, _projected_schema(cols))
 
 
 def local_bulk_extract(
@@ -914,4 +949,4 @@ def local_bulk_extract(
         tuple((g.kind, g.value) for g in graphs_to_ignore),
         bulk, cbd_default_graph, store_col, False, cols,
     )
-    return combined.mapInPandas(runner, _projected_schema(cols))
+    return combined.mapInArrow(runner, _projected_schema(cols))
