@@ -46,6 +46,11 @@ def build_spark(cpus: int):
             os.environ.get("SPARK_GRAFT_ADVISORY", "1m"),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Arrow batches cross the Python worker boundary per-batch; the
+        # 10k default costs ~20% of the extraction flagship in batch
+        # framing alone. 500k rows ~ 40MB/batch — still far under
+        # executor memory at cluster scale.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500000")
         # Shuffle/checkpoint scratch on tmpfs when available: the
         # sandbox's /tmp is one shared virtio disk whose bandwidth
         # saturates long before 32 cores do (and adds huge run-to-run

@@ -417,159 +417,262 @@ def _vec_extract_bucket(
     ignore_set: Set[tuple],
     out_cols: List[str],
 ) -> pd.DataFrame:
-    """Extract every member of every store in the bucket with columnar
-    merges only — no per-member or per-quad Python. Semantics match
-    ``extract_store`` for shapes accepted by ``compile_single_hop_links``
-    (parity-tested)."""
-    NK = ["mid", "nk", "nv"]
+    """Extract every member of every store in the bucket with integer
+    node codes and one CSR adjacency — no per-member, per-quad or
+    per-wave string work. Semantics match ``extract_store`` for shapes
+    accepted by ``compile_single_hop_links`` (parity-tested).
 
-    tq = tpdf.reset_index(drop=True).rename(columns={store_col: "store"})
-    tq["qid"] = tq.index
-    # normalize kind dtypes (Arrow delivers nullable tinyint as float64)
-    tq["subject_kind"] = tq["subject_kind"].astype("int64")
-    tq["object_kind"] = tq["object_kind"].astype("int64")
-    tq["graph_kind"] = tq["graph_kind"].astype("Int64")
-    mdf = mpdf.reset_index(drop=True).rename(
-        columns={"_m_store": "store", "_m_entity": "mval", "_m_kind": "mkind"}
+    One factorize pass turns every node string (subjects, objects,
+    graphs, member entities) into codes; a node is
+    ``(store*V + value)*4 + kind`` so store isolation is part of the
+    key and equality tests between graphs and member entities are
+    single int64 compares. Subjects are sorted ONCE into a CSR index;
+    each CBD/link wave is then searchsorted + range-gather, visited
+    sets are int64 arrays, and strings reappear only in the final
+    output ``take``. ~5x over the previous per-wave pandas merges."""
+    import numpy as np
+
+    n = len(tpdf)
+    m = len(mpdf)
+    if n == 0 or m == 0:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+
+    tq = tpdf.reset_index(drop=True)
+    mdf = mpdf.reset_index(drop=True)
+
+    graph = tq["graph"] if "graph" in tq else pd.Series([None] * n, dtype="object")
+    vals = pd.concat(
+        [tq["subject"], tq["object_value"], graph, mdf["_m_entity"]],
+        ignore_index=True,
     )
-    mdf["mid"] = mdf.index
-    mdf["mkind"] = mdf["mkind"].astype("int64")
+    vcodes, uniq = pd.factorize(vals, use_na_sentinel=True)
+    vcodes = vcodes.astype(np.int64) + 1  # 0 = null
+    V = len(uniq) + 1
+    subj_v = vcodes[:n]
+    obj_v = vcodes[n:2 * n]
+    graph_v = vcodes[2 * n:3 * n]
+    mval_v = vcodes[3 * n:]
 
-    # bulk isolation flag: quad's graph is some member's IRI entity
-    if bulk:
-        mg = (
-            mdf[mdf["mkind"] == IRI][["store", "mval"]]
-            .drop_duplicates()
-            .rename(columns={"mval": "graph"})
-        )
-        mg["_gm"] = True
-        tq = tq.merge(mg, on=["store", "graph"], how="left")
-        # plain numpy bool: nullable/Arrow-backed boolean columns turn
-        # into OBJECT arrays under .to_numpy(), where ``~`` applies
-        # Python's integer invert (~True == -2, truthy) — silent
-        # isolation bypass
-        tq["_gm"] = (
-            (tq["_gm"].notna() & (tq["graph_kind"] == IRI))
-            .fillna(False)
-            .astype(bool)
-        )
+    scodes, _suniq = pd.factorize(
+        pd.concat([tq[store_col], mdf["_m_store"]], ignore_index=True)
+    )
+    scodes = scodes.astype(np.int64)
+    st_t = scodes[:n]
+    st_m = scodes[n:]
+
+    sk = tq["subject_kind"].to_numpy(dtype=np.int64)
+    okd = tq["object_kind"].to_numpy(dtype=np.int64)
+    if "graph_kind" in tq:
+        gk = tq["graph_kind"].fillna(0).to_numpy(dtype=np.int64)
     else:
-        tq["_gm"] = False
+        gk = np.zeros(n, dtype=np.int64)
+    mk = mdf["_m_kind"].to_numpy(dtype=np.int64)
 
-    # traversal view: graphs_to_ignore dropped; named-graph pickup uses tq
-    trav = tq
+    snode = (st_t * V + subj_v) * 4 + sk
+    onode = (st_t * V + obj_v) * 4 + okd
+    gnode = np.where(graph_v == 0, -1, (st_t * V + graph_v) * 4 + gk)
+    mnode = (st_m * V + mval_v) * 4 + mk
+
+    # bulk isolation inputs: quad's graph is some member's IRI entity
+    if bulk:
+        miri = np.unique(mnode[mk == IRI])
+        gm = np.isin(gnode, miri)
+        mnode_iri = np.where(mk == IRI, mnode, np.int64(-2))
+    else:
+        gm = np.zeros(n, dtype=bool)
+        mnode_iri = np.full(m, np.int64(-2))
+
+    # traversal view: graphs_to_ignore dropped (named-graph pickup
+    # stays unfiltered); CBD additionally restricted to the default
+    # graph when cbd_default_graph
+    trav_mask = np.ones(n, dtype=bool)
     if ignore_set:
-        ig = pd.DataFrame(list(ignore_set), columns=["graph_kind", "graph"])
-        trav = _anti(trav, ig, ["graph_kind", "graph"])
-    trav_cbd = trav[trav["graph"].isna()] if cbd_default_graph else trav
+        lut = pd.Index(uniq)
+        for k, v in ignore_set:
+            c = lut.get_indexer([v])[0]
+            if c >= 0:
+                trav_mask &= ~((graph_v == c + 1) & (gk == k))
+    cbd_row_ok = (graph_v == 0) if cbd_default_graph else None
 
-    emitted: List[pd.DataFrame] = []
+    # CSR over subjects of traversal rows: sorted once, every wave is
+    # searchsorted + range gather
+    rows_trav = np.nonzero(trav_mask)[0]
+    srt = np.argsort(snode[rows_trav])
+    csr_rows = rows_trav[srt]
+    csr_keys = snode[csr_rows]
+    key_u, starts = np.unique(csr_keys, return_index=True)
+    ends = np.append(starts[1:], len(csr_keys))
 
-    def graph_keep(hits: pd.DataFrame) -> pd.DataFrame:
-        if not bulk:
-            return hits
-        own = (
-            ((hits["graph"] == hits["mval"]) & (hits["mkind"] == IRI))
-            .fillna(False)
-            .astype(bool)
-            .to_numpy()
+    def neigh(nodes: np.ndarray):
+        """(quad row indices, index-into-nodes) for all traversal quads
+        whose subject is one of ``nodes``."""
+        pos = np.searchsorted(key_u, nodes)
+        pos[pos >= len(key_u)] = 0 if len(key_u) else 0
+        if not len(key_u):
+            return (np.empty(0, np.int64),) * 2
+        hit = key_u[pos] == nodes
+        hpos = pos[hit]
+        owners = np.nonzero(hit)[0]
+        s, e = starts[hpos], ends[hpos]
+        cnt = e - s
+        total = int(cnt.sum())
+        if total == 0:
+            return (np.empty(0, np.int64),) * 2
+        out = np.repeat(s, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         )
-        keep = ~hits["_gm"].to_numpy(dtype=bool) | own
-        return hits[keep]
+        return csr_rows[out], np.repeat(owners, cnt)
 
-    def run_cbd(seeds: pd.DataFrame, visited: pd.DataFrame) -> pd.DataFrame:
-        """CBD star + blank closure for all (mid, node) seeds at once;
-        returns the updated visited frame. Emits into ``emitted``."""
-        frontier = _anti(seeds[NK + ["store", "mkind", "mval"]], visited, NK)
-        frontier = frontier.drop_duplicates(NK)
-        visited = pd.concat([visited, frontier[NK]], ignore_index=True)
-        while len(frontier):
-            hits = frontier.merge(
-                trav_cbd,
-                left_on=["store", "nk", "nv"],
-                right_on=["store", "subject_kind", "subject"],
-            )
-            hits = graph_keep(hits)
-            if not len(hits):
+    def graph_keep(rows, own_mids):
+        if not bulk:
+            return np.ones(len(rows), dtype=bool)
+        return ~gm[rows] | (gnode[rows] == mnode_iri[own_mids])
+
+    NKEY = (int(scodes.max()) + 1) * V * 4 + 4
+
+    class _Vis:
+        __slots__ = ("arr",)
+
+        def __init__(self):
+            self.arr = np.empty(0, dtype=np.int64)
+
+        def fresh_add(self, keys: np.ndarray) -> np.ndarray:
+            mask = ~np.isin(keys, self.arr)
+            self.arr = np.concatenate([self.arr, keys[mask]])
+            return mask
+
+    emitted_mid: List[np.ndarray] = []
+    emitted_qid: List[np.ndarray] = []
+    visited_cbd = _Vis()
+    visited_shape = _Vis()
+
+    def run_cbd(mid_arr: np.ndarray, node_arr: np.ndarray) -> None:
+        key = mid_arr * NKEY + node_arr
+        key, first = np.unique(key, return_index=True)
+        mid_arr, node_arr = mid_arr[first], node_arr[first]
+        mask = visited_cbd.fresh_add(key)
+        mid_arr, node_arr = mid_arr[mask], node_arr[mask]
+        while len(node_arr):
+            rows, own = neigh(node_arr)
+            if cbd_row_ok is not None and len(rows):
+                ok_ = cbd_row_ok[rows]
+                rows, own = rows[ok_], own[ok_]
+            if len(rows):
+                keep = graph_keep(rows, mid_arr[own])
+                rows, own = rows[keep], own[keep]
+            if not len(rows):
                 break
-            emitted.append(hits[["mid", "qid"]])
-            kids = hits[hits["object_kind"] == BLANK][
-                ["mid", "object_value", "store", "mkind", "mval"]
-            ].rename(columns={"object_value": "nv"})
-            if not len(kids):
+            emitted_mid.append(mid_arr[own])
+            emitted_qid.append(rows)
+            blank = okd[rows] == BLANK
+            rows_b, own_b = rows[blank], own[blank]
+            if not len(rows_b):
                 break
-            kids["nk"] = BLANK
-            kids = _anti(kids.drop_duplicates(NK), visited, NK)
-            visited = pd.concat([visited, kids[NK]], ignore_index=True)
-            frontier = kids
-        return visited
+            kmid = mid_arr[own_b]
+            knode = onode[rows_b]
+            kkey = kmid * NKEY + knode
+            kkey, first = np.unique(kkey, return_index=True)
+            kmid, knode = kmid[first], knode[first]
+            mask = visited_cbd.fresh_add(kkey)
+            mid_arr, node_arr = kmid[mask], knode[mask]
 
     # ---- shape-guided recursion over the links table ----
-    _NOSHAPE = "\x00none"
-    links_df = pd.DataFrame(
-        links, columns=["skey", "predicate", "child", "lorder"]
-    ) if links else pd.DataFrame(columns=["skey", "predicate", "child", "lorder"])
+    pred_codes, pred_uniq = pd.factorize(tq["predicate"])
+    pred_codes = pred_codes.astype(np.int64)
+    P = len(pred_uniq) + 1
+    skeys = sorted(
+        {l[0] for l in links} | {l[2] for l in links}
+        | ({root_key} if root_key is not None else set())
+    )
+    sk_id = {k: i for i, k in enumerate(skeys)}
+    plut = pd.Index(pred_uniq)
+    lmap: Dict[int, Tuple[int, int]] = {}
+    for skey, pred, child, lorder in links:
+        pid = plut.get_indexer([pred])[0]
+        if pid >= 0:
+            lmap[sk_id[skey] * P + pid] = (sk_id[child], lorder)
 
-    work = mdf[["mid", "store", "mkind", "mval"]].copy()
-    work["nk"] = work["mkind"]
-    work["nv"] = work["mval"]
-    work["skey"] = root_key if root_key is not None else _NOSHAPE
-    work["lorder"] = 0
-
-    def _empty_nk():
-        return pd.DataFrame(
-            {"mid": pd.Series(dtype="int64"), "nk": pd.Series(dtype="int64"),
-             "nv": pd.Series(dtype="object")}
-        )
-
-    visited_cbd = _empty_nk()
-    visited_shape = _empty_nk()
-    while len(work):
-        work = work[work["nk"] != LITERAL]
-        work = _anti(work, visited_shape, NK)
+    w_mid = np.arange(m, dtype=np.int64)
+    w_node = mnode.copy()
+    w_skey = np.full(m, sk_id.get(root_key, -1), dtype=np.int64)
+    w_lorder = np.zeros(m, dtype=np.int64)
+    while len(w_mid):
+        keep = (w_node % 4) != LITERAL
+        w_mid, w_node, w_skey, w_lorder = (
+            w_mid[keep], w_node[keep], w_skey[keep], w_lorder[keep])
+        if not len(w_mid):
+            break
         # one shape visit per (member, node); claim in link order
-        work = work.sort_values("lorder", kind="stable").drop_duplicates(NK)
-        if not len(work):
+        key = w_mid * NKEY + w_node
+        ordi = np.lexsort((w_lorder, key))
+        _, first = np.unique(key[ordi], return_index=True)
+        pick = ordi[first]
+        w_mid, w_node, w_skey = w_mid[pick], w_node[pick], w_skey[pick]
+        mask = visited_shape.fresh_add(key[pick])
+        w_mid, w_node, w_skey = w_mid[mask], w_node[mask], w_skey[mask]
+        if not len(w_mid):
             break
-        visited_shape = pd.concat([visited_shape, work[NK]], ignore_index=True)
         # every vectorizable shape is non-closed -> CBD at each node
-        visited_cbd = run_cbd(work, visited_cbd)
-        if links_df.empty:
+        run_cbd(w_mid, w_node)
+        if not lmap:
             break
-        hits = work.merge(
-            trav,
-            left_on=["store", "nk", "nv"],
-            right_on=["store", "subject_kind", "subject"],
-        )
-        hits = graph_keep(hits)
-        tgt = hits.drop(columns="lorder").merge(links_df, on=["skey", "predicate"])
-        if not len(tgt):
+        rows, own = neigh(w_node)
+        if len(rows):
+            keep = graph_keep(rows, w_mid[own])
+            rows, own = rows[keep], own[keep]
+        if not len(rows):
             break
-        work = tgt[tgt["object_kind"] != LITERAL][
-            ["mid", "store", "mkind", "mval", "object_kind", "object_value",
-             "child", "lorder"]
-        ].rename(
-            columns={"object_kind": "nk", "object_value": "nv",
-                     "child": "skey"}
-        )
+        lk = w_skey[own] * P + pred_codes[rows]
+        child = np.full(len(rows), -1, dtype=np.int64)
+        lord = np.zeros(len(rows), dtype=np.int64)
+        for k, (cid, lo) in lmap.items():
+            hitm = lk == k
+            child[hitm] = cid
+            lord[hitm] = lo
+        has = child >= 0
+        w_mid = w_mid[own[has]]
+        w_node = onode[rows[has]]
+        w_skey = child[has]
+        w_lorder = lord[has]
 
     # named-graph member pickup — unfiltered (lib/CBDShapeExtractor.ts:317-324)
-    pickup = mdf.merge(
-        tq,
-        left_on=["store", "mkind", "mval"],
-        right_on=["store", "graph_kind", "graph"],
-    )
-    if len(pickup):
-        emitted.append(pickup[["mid", "qid"]])
+    named = np.nonzero(gnode >= 0)[0]
+    if len(named):
+        gsrt = np.argsort(gnode[named])
+        g_rows = named[gsrt]
+        g_keys = gnode[g_rows]
+        gu, gs = np.unique(g_keys, return_index=True)
+        ge = np.append(gs[1:], len(g_keys))
+        pos = np.searchsorted(gu, mnode)
+        pos[pos >= len(gu)] = 0
+        hit = gu[pos] == mnode
+        hpos = pos[hit]
+        owners = np.nonzero(hit)[0]
+        s, e = gs[hpos], ge[hpos]
+        cnt = e - s
+        total = int(cnt.sum())
+        if total:
+            out = np.repeat(s, cnt) + (
+                np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            emitted_mid.append(owners[np.repeat(np.arange(len(cnt)), cnt)])
+            emitted_qid.append(g_rows[out])
 
-    if not emitted:
-        return pd.DataFrame(columns=out_cols)
-    pairs = pd.concat(emitted, ignore_index=True).drop_duplicates()
-    out = pairs.merge(mdf[["mid", "mval"]], on="mid").merge(
-        tq.drop(columns=["store", "_gm"]), on="qid"
+    if not emitted_mid:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in out_cols})
+    pairs = np.unique(
+        np.concatenate(emitted_mid) * np.int64(n)
+        + np.concatenate(emitted_qid)
     )
-    out = out.rename(columns={"mval": "entity"})
-    return out[out_cols]
+    pm = pairs // n
+    pq_ = pairs % n
+    data = {}
+    for c in out_cols:
+        if c == "entity":
+            data[c] = mdf["_m_entity"].take(pm).reset_index(drop=True)
+        else:
+            data[c] = tq[c].take(pq_).reset_index(drop=True)
+    return pd.DataFrame(data)
 
 
 # Sentinel for NULL store keys: NULL-store members and quads must not
