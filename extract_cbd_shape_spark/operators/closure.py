@@ -21,11 +21,21 @@ def transitive_closure(edges: DataFrame, seeds: DataFrame,
                        include_seeds: bool = True) -> DataFrame:
     """All nodes reachable from seeds. edges: (src, dst); seeds: (node).
     Returns (seed, node) pairs — ``seed`` is the originating seed."""
-    e = edges.select("src", "dst")
-    frontier = seeds.select(F.col("node").alias("seed"), F.col("node"))
-    reached = frontier.localCheckpoint()
-    out = [reached] if include_seeds else []
+    # Edges partitioned by the join key ONCE — localCheckpoint keeps
+    # the partitioning, so each round's join shuffles only the (small)
+    # frontier side instead of re-shuffling the edge set per round.
+    e = edges.select("src", "dst").repartition(F.col("src")).localCheckpoint()
+    frontier = seeds.select(
+        F.col("node").alias("seed"), F.col("node")
+    ).localCheckpoint()
+    # reached = LAZY union of per-round checkpointed parts (each part
+    # materialized once) — re-checkpointing the whole reached set per
+    # round copied O(rounds * reached) to executor storage.
+    parts = [frontier]
     for _ in range(max_iters):
+        reached = parts[0]
+        for p in parts[1:]:
+            reached = reached.unionByName(p)
         nxt = (
             frontier.join(e, frontier.node == e.src)
             .select("seed", F.col("dst").alias("node"))
@@ -35,11 +45,12 @@ def transitive_closure(edges: DataFrame, seeds: DataFrame,
         )
         if nxt.isEmpty():
             break
-        out.append(nxt)
-        reached = reached.unionByName(nxt).localCheckpoint()
+        parts.append(nxt)
         frontier = nxt
-    res = out[0] if out else reached.limit(0)
-    for p in out[1:]:
+    if not include_seeds:
+        parts = parts[1:] if len(parts) > 1 else [parts[0].limit(0)]
+    res = parts[0]
+    for p in parts[1:]:
         res = res.unionByName(p)
     return res
 
