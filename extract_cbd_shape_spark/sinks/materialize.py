@@ -71,8 +71,14 @@ def materialize_table(
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(bucket_by)), F.lit(n_buckets)).cast("int")
         )
-        if store_complete:
-            out = out.repartition(n_buckets, F.col("bucket"))
+        # Hash write distribution (Iceberg `write.distribution-mode=hash`
+        # equivalent): without it every input task writes a file into
+        # every bucket directory — tasks x n_buckets small files per
+        # snapshot, a metadata explosion at scale (and measurably the
+        # dominant pipeline-stage cost on this sandbox's shared disk).
+        # One write-side shuffle puts each bucket in ONE task -> one
+        # file per bucket, which is also what store_complete requires.
+        out = out.repartition(n_buckets, F.col("bucket"))
     writer = out.write.mode("overwrite")
     if bucket_by is not None:
         writer = writer.partitionBy("bucket")
