@@ -1049,7 +1049,7 @@ WHERE rank <= 5
         "lsh_buckets": """
 WITH proj AS (
   SELECT vec_id, j,
-         sum(x * (((i * 31 + j * 17) % 7) - 3)) AS p
+         sum(x * (((i * 37 + j * 101) % 11) - 5)) AS p
   FROM (SELECT vec_id,
                unnest(list_transform(embedding, y -> y::DOUBLE)) AS x,
                generate_subscripts(embedding, 1) - 1 AS i
@@ -1065,7 +1065,7 @@ FROM proj GROUP BY vec_id
         "lsh_topk": f"""
 WITH proj AS (
   SELECT vec_id, j,
-         sum(x * (((i * 31 + j * 17) % 7) - 3)) AS p
+         sum(x * (((i * 37 + j * 101) % 11) - 5)) AS p
   FROM (SELECT vec_id,
                unnest(list_transform(embedding, y -> y::DOUBLE)) AS x,
                generate_subscripts(embedding, 1) - 1 AS i

@@ -64,9 +64,12 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 def sign_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic sign-LSH: plane j weight for dimension i is
-    ((i*31 + j*17) % 7) - 3. bucket = sum_j sign_bit_j << j.
+    ((i*37 + j*101) % 11) - 5. bucket = sum_j sign_bit_j << j.
     (Mirrors exactly in SQL; swap in learned/random planes via a
-    broadcast plane table in production.)"""
+    broadcast plane table in production. The earlier mod-7 weights made
+    plane 7 identical to plane 0 — 17*7 = 0 mod 7 — so the default
+    8-plane bucket carried a fully redundant bit; mod 11 keeps all 8
+    planes distinct.)"""
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
     bucket = None
     for j in range(n_planes):
@@ -75,7 +78,7 @@ def sign_lsh_buckets(embeddings: DataFrame, n_planes: int = 8,
                 F.col("_v"),
                 F.sequence(F.lit(0), F.size("_v") - 1),
                 lambda x, i: x.cast("double")
-                * (((i * 31 + j * 17) % 7) - 3).cast("double"),
+                * (((i * 37 + j * 101) % 11) - 5).cast("double"),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
