@@ -351,3 +351,46 @@ def test_projected_columns_parity(spark, tmp_path):
         st.drop("object_lang", "object_datatype"),
         shapes_graph=shapes, shape=shape, columns=cols)
     assert {tuple(r) for r in pre.collect()} == bset
+
+
+def test_vec_cross_store_isolation_same_bucket(spark):
+    """Two stores in ONE kernel bucket sharing node names (same blank
+    label, same downstream IRI) must not leak quads across stores (the
+    CSR kernel keys nodes by (store, value, kind)); vectorized ==
+    interpreter on both the default and cbd_default_graph traversals."""
+    rows = []
+    for store, member in (("s1", "http://x/A1"), ("s2", "http://x/A2")):
+        rows += [
+            (member, 0, "http://x/child", "b0", 1,
+             None, None, None, None, store),
+            # same blank label b0 in BOTH stores, different payloads
+            ("b0", 1, "http://x/street", f"st-{store}", 2,
+             None, None, None, None, store),
+            # same downstream IRI subject in both stores
+            (member, 0, "http://x/link", "http://x/shared", 0,
+             None, None, None, None, store),
+            # a named-graph quad: dropped under cbd_default_graph
+            (member, 0, "http://x/extra", f"x-{store}", 2,
+             None, None, "http://x/G", 0, store),
+        ]
+    tdf = spark.createDataFrame(
+        rows, _QUAD_SCHEMA + ", store_key string")
+    mem = spark.createDataFrame(
+        [("http://x/A1", "s1"), ("http://x/A2", "s2")],
+        "entity string, store_key string")
+    for cbd_dg in (False, True):
+        kw = dict(bulk=False, cbd_default_graph=cbd_dg, n_buckets=1)
+        vec = {tuple(r) for r in
+               local_bulk_extract(tdf, mem, vectorize=True, **kw).collect()}
+        loop = {tuple(r) for r in
+                local_bulk_extract(tdf, mem, vectorize=False, **kw).collect()}
+        assert vec == loop
+        # A1 reaches b0 via blank closure: must see ONLY s1's street
+        a1_streets = {r[4] for r in vec
+                      if r[0] == "http://x/A1" and r[3] == "http://x/street"}
+        assert a1_streets == {"st-s1"}
+        a2_streets = {r[4] for r in vec
+                      if r[0] == "http://x/A2" and r[3] == "http://x/street"}
+        assert a2_streets == {"st-s2"}
+        n_graph_quads = sum(1 for r in vec if r[3] == "http://x/extra")
+        assert n_graph_quads == (0 if cbd_dg else 2)
