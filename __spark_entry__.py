@@ -174,6 +174,29 @@ def _q_kbo_bulk_extract_local(spark, sf_dir):
     )
 
 
+def _q_kbo_bulk_extract_local_ext(spark, sf_dir):
+    """kbo_bulk_extract_local with the EXTENDED shape (2-hop sequence
+    path + forward alternative — the reference's escalated perf regime,
+    perf/resources/shacl-kbo.ttl LegalEntityShapeExtended): exercises
+    the vectorized kernel's chained-gather path. The sequence's hop-2
+    witnesses land on the blank address the CBD closure already walks,
+    so the quad output — and the oracle — equals the base shape."""
+    from extract_cbd_shape_spark.operators.kgtriples import (
+        KBO_SHAPE_EXT_IRI,
+        KBO_SHAPE_EXT_TTL,
+    )
+    from extract_cbd_shape_spark.operators.local_extract import local_bulk_extract
+
+    triples, members = kbo_members(spark, sf_dir)
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_EXT_TTL))
+    t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
+    m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    return local_bulk_extract(
+        t2, m2, shapes_graph=shapes, shape=Term(IRI, KBO_SHAPE_EXT_IRI),
+        columns=["entity", "subject", "predicate", "object_value"],
+    )
+
+
 _STORE_LAYOUT_V = "v1"
 
 
@@ -601,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_extract_order": _q_shape_extract_order,
         "kbo_bulk_extract": _q_kbo_bulk_extract,
         "kbo_bulk_extract_local": _q_kbo_bulk_extract_local,
+        "kbo_bulk_extract_local_ext": _q_kbo_bulk_extract_local_ext,
         "kbo_bulk_extract_store": _q_kbo_bulk_extract_store,
         "path_closure": _q_path_closure,
         "q1_pricing": _q_q1_pricing,
@@ -770,11 +794,48 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
-_IVF_ORACLE = f"""
-WITH cents AS (
-  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-  WHERE vec_id % 16 = 0
+# k-means mirror: 2 unrolled Lloyd's iterations (stride-16 seed,
+# DECIMAL(38,20)-exact means rounded to 8dp — bit-identical to the
+# Spark kmeans_centroids by order-independence of exact sums)
+_KMEANS_CENTS_CTE = f"""cents0 AS (
+  SELECT vec_id AS centroid_id, list_transform(embedding, x -> x::DOUBLE) AS cv
+  FROM embeddings WHERE vec_id % 16 = 0
 ),
+a0 AS (
+  SELECT e.vec_id, c.centroid_id, e.embedding,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.centroid_id) rn
+  FROM embeddings e CROSS JOIN cents0 c
+),
+m1 AS (
+  SELECT centroid_id, i,
+         round(sum(x::DOUBLE::DECIMAL(38,20))/count(*), 8)::DOUBLE AS val
+  FROM (SELECT centroid_id, unnest(embedding) AS x,
+               generate_subscripts(embedding,1) AS i
+        FROM a0 WHERE rn = 1)
+  GROUP BY centroid_id, i
+),
+cents1 AS (SELECT centroid_id, list(val ORDER BY i) AS cv
+           FROM m1 GROUP BY centroid_id),
+a1 AS (
+  SELECT e.vec_id, c.centroid_id, e.embedding,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_cos_sql('e.embedding', 'c.cv')} DESC, c.centroid_id) rn
+  FROM embeddings e CROSS JOIN cents1 c
+),
+m2 AS (
+  SELECT centroid_id, i,
+         round(sum(x::DOUBLE::DECIMAL(38,20))/count(*), 8)::DOUBLE AS val
+  FROM (SELECT centroid_id, unnest(embedding) AS x,
+               generate_subscripts(embedding,1) AS i
+        FROM a1 WHERE rn = 1)
+  GROUP BY centroid_id, i
+),
+cents AS (SELECT centroid_id, list(val ORDER BY i) AS cv
+          FROM m2 GROUP BY centroid_id)"""
+
+_IVF_ORACLE = f"""
+WITH {_KMEANS_CENTS_CTE},
 assign AS (
   SELECT e.vec_id, c.centroid_id,
          row_number() OVER (PARTITION BY e.vec_id
@@ -828,6 +889,30 @@ SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
 )
 """,
         "kbo_bulk_extract_local": """
+WITH m AS (SELECT o_orderkey AS k FROM orders)
+SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
+  SELECT k, 'm:'||k AS subject, 'rdf:type' AS predicate,
+         'kbo:legalEntity' AS object_value FROM m
+  UNION ALL SELECT k, 'm:'||k, 'rdf:type', 'kbo:Enterprise' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:isVersionOf', 'v:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyStatus',
+            'kbo:JuridicalSituation_000' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyType',
+            'kbo:JuridicalForm_014' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:legalName', 'Company '||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:registeredAddress', 'a:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||(k % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 7) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 13) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:establishment', 'e:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:status', 'kbo:Status_AC' FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:fullAddress', 'Street '||k FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:postCode', (k % 9999)::VARCHAR FROM m
+)
+""",
+        # extended shape (sequence + alternative): the chain witnesses
+        # are quads the base extraction already emits, so same oracle
+        "kbo_bulk_extract_local_ext": """
 WITH m AS (SELECT o_orderkey AS k FROM orders)
 SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
   SELECT k, 'm:'||k AS subject, 'rdf:type' AS predicate,

@@ -91,6 +91,7 @@ def run_suite(spark, sf_dir: str) -> dict:
     headline = [
         "kbo_bulk_extract",      # engine: bulk member extraction
         "kbo_bulk_extract_local",  # store-local fast path (one shuffle)
+        "kbo_bulk_extract_local_ext",  # + sequence/alternative chains
         "kbo_bulk_extract_store",  # pre-bucketed store, ZERO shuffle (flagship)
         "shape_extract_order",   # engine: CBD + blank closure + nodeLinks
         "path_closure",          # iterative transitive closure

@@ -94,14 +94,31 @@ def cmd_extract(args: argparse.Namespace) -> int:
             # The reference CLI always pairs a shapes graph with a shape
             # IRI (bin/extract.ts:49-58). Loading shapes but guiding by
             # none would silently degrade to plain CBD, so default to
-            # the graph's only node shape; ambiguity is an error.
-            iris = sorted(v for (k, v) in shapes_graph.shapes if k == IRI)
+            # the graph's only ROOT shape — ShapesGraph.from_quads also
+            # registers child shapes (objects of sh:node), which are not
+            # default candidates (a root + its linked children is still
+            # one unambiguous entry point). No root at all is an error,
+            # not a silent fall-through to plain CBD.
+            linked = {
+                (nl.link.kind, nl.link.value)
+                for tpl in shapes_graph.shapes.values()
+                for nl in tpl.all_node_links()
+            }
+            iris = sorted(
+                v for (k, v) in shapes_graph.shapes
+                if k == IRI and (k, v) not in linked
+            )
             if len(iris) == 1:
                 shape = Term(IRI, iris[0])
             elif len(iris) > 1:
                 sys.exit(
-                    "--shapes has multiple node shapes; pick one with "
-                    "--shape-iri: " + ", ".join(iris)
+                    "--shapes has multiple root node shapes; pick one "
+                    "with --shape-iri: " + ", ".join(iris)
+                )
+            else:
+                sys.exit(
+                    "--shapes given but no IRI node shape found to guide "
+                    "extraction; pass --shape-iri or drop --shapes"
                 )
 
     resolver: Dict[str, List[Quad]] = {}

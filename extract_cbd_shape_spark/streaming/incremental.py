@@ -100,8 +100,9 @@ def streaming_lang_sessions(pages: DataFrame, gap_seconds: int = 10,
     Scale story: state is partitioned by the group key across
     executors; per micro-batch each key's rows are sessionized with
     vectorized pandas (sort + diff + cumsum — Python work is per
-    SESSION, never per row), and the carried open session merges with
-    the first batch session when the gap allows."""
+    SESSION, never per row), and the carried open session is re-merged
+    with the batch sessions by interval union, so out-of-order arrivals
+    across micro-batches (legal under the watermark) land correctly."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -139,12 +140,23 @@ def streaming_lang_sessions(pages: DataFrame, gap_seconds: int = 10,
             for a, b, n in agg.itertuples(index=False, name=None)
         ]
         if state.exists:
-            s, e, n = state.get
-            if sessions[0][0] - e <= gap_ms:  # carried session continues
-                s2, e2, n2 = sessions[0]
-                sessions[0] = (min(s, s2), max(e, e2), n + n2)
-            else:
-                sessions.insert(0, (s, e, n))
+            # Sessionize the UNION of the carried open session and the
+            # batch sessions: rows older than the carried session, a
+            # carried session bridging two batch sessions, or a carried
+            # session newer than every batch row are all legal under the
+            # watermark (ADVICE r2) — so insert the carried interval in
+            # start order and re-merge with the gap rule instead of only
+            # comparing against sessions[0].
+            sessions.append(tuple(state.get))
+            sessions.sort()
+            merged = [sessions[0]]
+            for s, e, n in sessions[1:]:
+                ls, le, ln = merged[-1]
+                if s - le <= gap_ms:
+                    merged[-1] = (ls, max(le, e), ln + n)
+                else:
+                    merged.append((s, e, n))
+            sessions = merged
         closed, last = sessions[:-1], sessions[-1]
         state.update(last)
         # event-time timeout must sit above the current watermark

@@ -54,6 +54,43 @@ def test_cli_default_shape_iri(spark, capsys, tmp_path):
               "--entity", "http://example.org/B"])
 
 
+def test_cli_default_shape_root_with_children(spark, capsys, tmp_path):
+    """A root shape plus child shapes linked via sh:node (the common
+    layout, e.g. the KBO shape) still defaults: candidates are ROOT
+    shapes only (ADVICE r2, low); a shapes file yielding no IRI node
+    shape errors instead of silently degrading to plain CBD."""
+    (tmp_path / "shape.ttl").write_text(
+        "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:RootShape a sh:NodeShape ;\n"
+        "  sh:property [ sh:path ex:addr ; sh:node ex:ChildShape ] .\n"
+        "ex:ChildShape a sh:NodeShape ;\n"
+        "  sh:property [ sh:path ex:street ; sh:minCount 1 ] .\n"
+    )
+    (tmp_path / "data.ttl").write_text(
+        "<http://example.org/B> <http://example.org/addr> "
+        "<http://example.org/A1> .\n"
+        "<http://example.org/A1> <http://example.org/street> \"S1\" .\n"
+        "<http://example.org/A1> <http://example.org/skipme> \"x\" .\n"
+    )
+    rc = main(["extract", "--data", str(tmp_path / "data.ttl"),
+               "--shapes", str(tmp_path / "shape.ttl"),
+               "--entity", "http://example.org/B"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # root defaulted: B's star + A1's star via the child shape
+    assert len(out) == 3
+
+    (tmp_path / "empty.ttl").write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:NotAShape ex:p \"v\" .\n"
+    )
+    with pytest.raises(SystemExit):
+        main(["extract", "--data", str(tmp_path / "data.ttl"),
+              "--shapes", str(tmp_path / "empty.ttl"),
+              "--entity", "http://example.org/B"])
+
+
 def test_cli_mermaid(spark, capsys):
     rc = main(["mermaid", SHAPE05, "http://example.org/AlternativePathShape"])
     assert rc == 0

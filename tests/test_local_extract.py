@@ -219,14 +219,245 @@ def test_vec_parity_graphs_to_ignore(spark):
     assert "in-A-graph" not in a
 
 
-def test_vec_gate_rejects_complex_shapes():
+def test_vec_gate_accepts_forward_rejects_inverse_multi():
     from extract_cbd_shape_spark.operators.local_extract import (
         compile_single_hop_links)
     sg = ShapesGraph.from_quads(parse_trig(load_fixture("05 - paths/shape.ttl")))
+    # forward sequences vectorize (r3: chained CSR gathers)
+    seq = compile_single_hop_links(sg, Term(IRI, EX + "SequencePathShape"))
+    assert seq is not None and len(seq[1]) > 0  # a multi-hop match chain
+    # tests/05 AlternativePathShape is sh:closed -> rejected for THAT;
+    # a non-closed forward alternative vectorizes
+    alt_sg = ShapesGraph.from_quads(parse_trig("""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:AltShape a sh:NodeShape ;
+      sh:property [ sh:path [ sh:alternativePath (ex:p1 ex:p2) ] ;
+                    sh:minCount 1 ] .
+    """))
+    assert compile_single_hop_links(alt_sg, Term(IRI, EX + "AltShape")) \
+        is not None
     assert compile_single_hop_links(
-        sg, Term(IRI, EX + "SequencePathShape")) is None
+        sg, Term(IRI, EX + "AlternativePathShape")) is None  # closed
+    # inverse / multipath keep the per-member interpreter (trie reduction)
     assert compile_single_hop_links(
         sg, Term(IRI, EX + "InversePathShape")) is None
+    assert compile_single_hop_links(
+        sg, Term(IRI, EX + "ZeroOrMorePathShape")) is None
+    assert compile_single_hop_links(
+        sg, Term(IRI, EX + "SequenceAndInversePathShape")) is None
+
+
+@pytest.mark.parametrize("shape,entity", [
+    ("SequencePathShape", "B"),
+    ("AlternativePathShape", "B"),
+    ("AllTogetherPathShape", "B"),
+])
+def test_vec_parity_forward_sequence_alternative(spark, shape, entity):
+    """r3 kernel extension: forward sequences/alternatives run as
+    chained CSR gathers — parity with the interpreter on the
+    reference's own path fixtures (tests/05)."""
+    quads = _quads("05 - paths/data.ttl")
+    sg = ShapesGraph.from_quads(parse_trig(load_fixture("05 - paths/shape.ttl")))
+    from extract_cbd_shape_spark.operators.local_extract import (
+        compile_single_hop_links)
+    if compile_single_hop_links(sg, Term(IRI, EX + shape)) is None:
+        pytest.skip("shape not vectorizable")
+    tdf = spark.createDataFrame(quads, schema=_QUAD_SCHEMA).withColumn(
+        "store_key", F.lit("s1"))
+    mem = spark.createDataFrame([(EX + entity,)], "entity string").withColumn(
+        "store_key", F.lit("s1"))
+    kw = dict(shapes_graph=sg, shape=Term(IRI, EX + shape), bulk=False,
+              n_buckets=1)
+    vec = {tuple(r) for r in
+           local_bulk_extract(tdf, mem, vectorize=True, **kw).collect()}
+    loop = {tuple(r) for r in
+            local_bulk_extract(tdf, mem, vectorize=False, **kw).collect()}
+    assert vec == loop and len(vec) > 0
+
+
+def test_vec_parity_multihop_nodelink(spark):
+    """A 2-hop sequence nodeLink: the intermediate hop is an IRI the
+    CBD star never reaches — witnesses for the match chain and the
+    linked shape's extraction must both appear, vec == interpreter."""
+    shape_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:RootShape a sh:NodeShape ;
+      sh:property [ sh:path (ex:via ex:to) ; sh:node ex:LeafShape ;
+                    sh:minCount 1 ] .
+    ex:LeafShape a sh:NodeShape ;
+      sh:property [ sh:path ex:val ; sh:minCount 1 ] .
+    """
+    data_ttl = """
+@prefix ex: <http://example.org/> .
+ex:M ex:via ex:Mid ; ex:own "root star" .
+ex:Mid ex:to ex:Leaf ; ex:noise "never extracted" .
+ex:Leaf ex:val "leaf star" ; ex:other "leaf star 2" .
+"""
+    quads = [quad_to_row(q) for q in parse_trig(data_ttl)]
+    sg = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    tdf = spark.createDataFrame(quads, schema=_QUAD_SCHEMA).withColumn(
+        "store_key", F.lit("s1"))
+    mem = spark.createDataFrame(
+        [("http://example.org/M",)], "entity string").withColumn(
+        "store_key", F.lit("s1"))
+    kw = dict(shapes_graph=sg, shape=Term(IRI, EX + "RootShape"),
+              bulk=False, n_buckets=1)
+    vec = {tuple(r) for r in
+           local_bulk_extract(tdf, mem, vectorize=True, **kw).collect()}
+    loop = {tuple(r) for r in
+            local_bulk_extract(tdf, mem, vectorize=False, **kw).collect()}
+    assert vec == loop
+    vals = {r[4] for r in vec}
+    # root star (2) + hop-2 witness (Mid->Leaf) + leaf star (2);
+    # Mid's own star is NOT extracted (intermediates get no CBD)
+    assert "root star" in vals and "leaf star" in vals
+    assert any(r[3] == EX + "to" for r in vec)  # the hop-2 witness quad
+    assert "never extracted" not in vals
+    # M star (2) + Mid->Leaf witness (1) + Leaf star (2)
+    assert len(vec) == 5
+
+
+def test_vec_parity_alternative_chain_link(spark):
+    """Non-closed forward alternative, both as a match path and as a
+    nodeLink pattern ((a|b)/c link): vec == interpreter, and targets
+    reached through EITHER branch are claimed and extracted."""
+    shape_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:RootShape a sh:NodeShape ;
+      sh:property [ sh:path [ sh:alternativePath (ex:a ex:b) ] ;
+                    sh:minCount 1 ] ;
+      sh:property [ sh:path ([ sh:alternativePath (ex:a ex:b) ] ex:c) ;
+                    sh:node ex:LeafShape ] .
+    ex:LeafShape a sh:NodeShape ;
+      sh:property [ sh:path ex:val ; sh:minCount 1 ] .
+    """
+    data_ttl = """
+@prefix ex: <http://example.org/> .
+ex:M ex:a ex:X ; ex:b ex:Y .
+ex:X ex:c ex:L1 .
+ex:Y ex:c ex:L2 .
+ex:L1 ex:val "v1" .
+ex:L2 ex:val "v2" .
+"""
+    quads = [quad_to_row(q) for q in parse_trig(data_ttl)]
+    sg = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    tdf = spark.createDataFrame(quads, schema=_QUAD_SCHEMA).withColumn(
+        "store_key", F.lit("s1"))
+    mem = spark.createDataFrame(
+        [("http://example.org/M",)], "entity string").withColumn(
+        "store_key", F.lit("s1"))
+    kw = dict(shapes_graph=sg, shape=Term(IRI, EX + "RootShape"),
+              bulk=False, n_buckets=1)
+    vec = {tuple(r) for r in
+           local_bulk_extract(tdf, mem, vectorize=True, **kw).collect()}
+    loop = {tuple(r) for r in
+            local_bulk_extract(tdf, mem, vectorize=False, **kw).collect()}
+    assert vec == loop
+    vals = {r[4] for r in vec}
+    assert {"v1", "v2"} <= vals  # both branches' leaves extracted
+    # M star (2) + X->L1, Y->L2 hop-2 witnesses (2) + L1/L2 stars (2)
+    assert len(vec) == 6
+
+
+def test_vec_parity_shaped_cbd_default_graph(spark):
+    """cbd_default_graph narrows ONLY the CBD star, not path matching
+    (reference: extractCbdDefaultGraph guards the star lookup,
+    lib/CBDShapeExtractor.ts:479). A match-path witness living in a
+    named graph must survive — the vectorized plan is gated off for
+    shaped + cbd_default_graph (ADVICE r2, high) so both engines agree."""
+    shape_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:NameShape a sh:NodeShape ;
+      sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+    """
+    quads = [quad_to_row(q) for q in parse_trig(
+        """
+@prefix ex: <http://example.org/> .
+ex:A ex:other "default graph quad" .
+ex:G { ex:A ex:name "named graph witness" . }
+"""
+    )]
+    tdf = spark.createDataFrame(quads, schema=_QUAD_SCHEMA).withColumn(
+        "store_key", F.lit("s1"))
+    mem = spark.createDataFrame(
+        [("http://example.org/A",)], "entity string"
+    ).withColumn("store_key", F.lit("s1"))
+    sg = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    kw = dict(shapes_graph=sg, shape=Term(IRI, EX + "NameShape"),
+              bulk=False, cbd_default_graph=True, n_buckets=1)
+    vec = {tuple(r) for r in
+           local_bulk_extract(tdf, mem, vectorize=True, **kw).collect()}
+    loop = {tuple(r) for r in
+            local_bulk_extract(tdf, mem, vectorize=False, **kw).collect()}
+    assert vec == loop
+    assert len(vec) == 2  # star quad + named-graph path witness
+    assert "named graph witness" in {r[4] for r in vec}
+
+
+def test_bfs_claim_contract_vec_matches_global(spark):
+    """Bulk-engine claim contract (ADVICE r2, medium): when a node is
+    reachable through nodeLinks to DIFFERENT shapes at different depths,
+    both bulk engines (vectorized kernel, global fixpoint) claim the
+    shallower shape (BFS wave + link order); the per-member interpreter
+    follows the reference's DFS first-visit order and may claim the
+    deeper one. This test pins the divergence class: vec == global, and
+    the fixture exercises the divergent case (X reachable at depth 1 via
+    a childless shape and at depth 2 via a shape with children)."""
+    shape_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:RootShape a sh:NodeShape ;
+      sh:property [ sh:path ex:pc ; sh:node ex:MidShape ] ;
+      sh:property [ sh:path ex:pb ; sh:node ex:BShape ] .
+    ex:MidShape a sh:NodeShape ;
+      sh:property [ sh:path ex:pm ; sh:node ex:CShape ] .
+    ex:BShape a sh:NodeShape ;
+      sh:property [ sh:path ex:name ; sh:minCount 0 ] .
+    ex:CShape a sh:NodeShape ;
+      sh:property [ sh:path ex:deep ; sh:node ex:DShape ] .
+    ex:DShape a sh:NodeShape ;
+      sh:property [ sh:path ex:v ; sh:minCount 0 ] .
+    """
+    data_ttl = """
+@prefix ex: <http://example.org/> .
+ex:M ex:pc ex:Y ; ex:pb ex:X .
+ex:Y ex:pm ex:X .
+ex:X ex:deep ex:Z .
+ex:Z ex:v "only reached when X is claimed by CShape" .
+"""
+    quads = [quad_to_row(q) for q in parse_trig(data_ttl)]
+    sg = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    shape = Term(IRI, EX + "RootShape")
+    cols = ["entity", "subject", "predicate", "object_value"]
+
+    tdf = spark.createDataFrame(quads, schema=_QUAD_SCHEMA)
+    mem = spark.createDataFrame([("http://example.org/M",)], "entity string")
+    ex_g = BulkCBDShapeExtractor(spark, shapes_graph=sg)
+    g, _ = ex_g.extract(tdf, mem, shape=shape)
+    gset = {tuple(r) for r in g.select(*cols).collect()}
+
+    t2 = tdf.withColumn("store_key", F.lit("s1"))
+    m2 = mem.withColumn("store_key", F.lit("s1"))
+    vec = local_bulk_extract(t2, m2, shapes_graph=sg, shape=shape,
+                             vectorize=True, n_buckets=1)
+    vset = {tuple(r) for r in vec.select(*cols).collect()}
+    assert vset == gset
+    # BFS claim: X=BShape at depth 1, so Z is never reached
+    assert not any(r[1] == EX + "Z" for r in vset)
+    assert len(vset) == 4
+
+    # the interpreter's DFS claims X=CShape (pc link comes first) and
+    # DOES reach Z — the documented divergence
+    interp = {tuple(r) for r in
+              local_bulk_extract(t2, m2, shapes_graph=sg, shape=shape,
+                                 vectorize=False, n_buckets=1)
+              .select(*cols).collect()}
+    assert any(r[1] == EX + "Z" for r in interp)
+    assert len(interp) == 5
 
 
 def test_giant_store_fallback_parity(spark):
@@ -295,6 +526,29 @@ def test_prebucketed_store_parity(spark, tmp_path):
     assert p2set == bset
 
 
+def test_read_store_does_not_mutate_session_conf(spark, tmp_path):
+    """read_store's no-split guard must stay scoped to its own cloned
+    session — the caller's maxPartitionBytes is untouched (ADVICE r2)."""
+    from extract_cbd_shape_spark.operators.kgtriples import kbo_members
+    from extract_cbd_shape_spark.operators.local_extract import (
+        materialize_store, read_store)
+
+    key = "spark.sql.files.maxPartitionBytes"
+    spark.conf.set(key, "4096")  # below any real bucket file size
+    try:
+        t2, m2 = kbo_members(spark, "/root/testdata/sf0.001")
+        t2 = t2.withColumn("store_key", F.split(F.col("subject"), ":")[1])
+        st = read_store(spark, materialize_store(
+            t2, None, str(tmp_path / "store"), n_buckets=4))
+        assert st.count() > 0
+        assert spark.conf.get(key) == "4096"
+        # the scan itself must still be no-split: 4 bucket files -> at
+        # most 4 partitions even though each file exceeds 4096 bytes
+        assert st.rdd.getNumPartitions() <= 4
+    finally:
+        spark.conf.unset(key)
+
+
 def test_deep_nodelink_chain_no_recursion_error():
     """A nodeLink chain far deeper than CPython's recursion limit must
     extract completely (ADVICE r2: extract_recursively was recursive
@@ -315,6 +569,42 @@ def test_deep_nodelink_chain_no_recursion_error():
     rows = list(extract_store(
         quads, [(IRI, EX + "n0")], sg, Term(IRI, EX + "ChainShape")))
     assert len(rows) == n
+
+
+def test_vec_deep_chain_linear_growth():
+    """Deep blank-chain closure in the CSR kernel must scale ~linearly
+    in depth (VERDICT r2 #8: the visited set is a sorted-insert
+    structure now, not a per-wave np.isin re-sort — quadratic would be
+    16x from 2k to 8k; allow generous noise margin)."""
+    import time
+
+    import pandas as pd
+
+    from extract_cbd_shape_spark.model import BLANK
+    from extract_cbd_shape_spark.operators.local_extract import (
+        OUT_COLS, _vec_extract_bucket)
+
+    def run(depth):
+        rows = [("http://x/M", IRI, "http://x/next", "b0", BLANK,
+                 None, None, None, None, "s1")]
+        rows += [(f"b{i}", BLANK, "http://x/next", f"b{i+1}", BLANK,
+                  None, None, None, None, "s1") for i in range(depth - 1)]
+        tpdf = pd.DataFrame(rows, columns=[
+            "subject", "subject_kind", "predicate", "object_value",
+            "object_kind", "object_lang", "object_datatype", "graph",
+            "graph_kind", "store_key"])
+        mpdf = pd.DataFrame({"_m_store": ["s1"],
+                             "_m_entity": ["http://x/M"], "_m_kind": [IRI]})
+        t0 = time.time()
+        out = _vec_extract_bucket(tpdf, mpdf, "store_key",
+                                  ([], [], [], None), False, False,
+                                  set(), OUT_COLS)
+        assert len(out) == depth
+        return time.time() - t0
+
+    run(500)  # warm numpy/pandas paths
+    t2k, t8k = run(2000), run(8000)
+    assert t8k < t2k * 10  # linear is ~4x; quadratic ~16x
 
 
 def test_projected_columns_parity(spark, tmp_path):

@@ -141,3 +141,38 @@ def test_cosine_near_dups_planted_pairs(spark):
     pairs = {(r.left_id, r.right_id) for r in got}
     assert {(i, i + 1000) for i in range(0, 40, 4)} <= pairs
     assert all(r.score >= 0.95 for r in got)
+
+
+def test_ivf_kmeans_recall_vs_exact(spark):
+    """IVF with Lloyd's k-means centroids (r3): recall@5 against the
+    cosine_topk exactness baseline is reported and must rise
+    monotonically with nprobe, reaching >= 0.8 at nprobe=16 (half the
+    centroid count). Also pins determinism: two kmeans_centroids runs
+    are bit-identical (decimal-exact means — the property the DuckDB
+    oracle mirror relies on)."""
+    from pyspark.sql import functions as F
+
+    from extract_cbd_shape_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, q, k=5).collect()}
+    recalls = []
+    for nprobe in (2, 8, 16):
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ivf_topk(emb, q, k=5, nprobe=nprobe).collect()}
+        recalls.append(len(exact & approx) / len(exact))
+    print(f"ivf recall@5 by nprobe(2,8,16): {recalls}")
+    assert recalls == sorted(recalls)  # more probes never lose recall
+    assert recalls[-1] >= 0.8
+
+    c1 = sorted(map(tuple, ((r.centroid_id, tuple(r.cv))
+                for r in kmeans_centroids(emb).collect())))
+    c2 = sorted(map(tuple, ((r.centroid_id, tuple(r.cv))
+                for r in kmeans_centroids(emb).collect())))
+    assert c1 == c2

@@ -163,3 +163,77 @@ def test_stateful_sessions_gap_and_timeout(spark, tmp_path):
     drain([page("de", 120)])
     got = drain([page("de", 125)])
     assert ("en", 55, 55, 1) in got
+
+
+def test_stateful_sessions_out_of_order_batches(spark, tmp_path):
+    """Out-of-order arrivals across micro-batches (legal under a lagging
+    watermark) must sessionize as the UNION of carried state and batch
+    rows (ADVICE r2, medium): (a) batch rows older than the carried
+    session and outside the gap must NOT merge into it; (b) a carried
+    session bridging two batch sessions merges all three; (c) batch rows
+    older than the carried session must not displace it as the open
+    session."""
+    from datetime import datetime, timedelta
+
+    from extract_cbd_shape_spark.streaming import (
+        pages_stream,
+        streaming_lang_sessions,
+    )
+
+    base = datetime(2024, 1, 1)
+    cols = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+    def page(lang, ts, tag=""):
+        return (f"https://t/{lang}/{ts}{tag}", base + timedelta(seconds=ts),
+                b"<html></html>", "x", lang)
+
+    def run(name, waves):
+        pages_dir = str(tmp_path / name / "pages")
+        out = str(tmp_path / name / "sessions")
+        ckpt = str(tmp_path / name / "ckpt")
+        got = set()
+        for i, rows in enumerate(waves):
+            spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+                "append").parquet(pages_dir)
+            q = (
+                streaming_lang_sessions(
+                    pages_stream(spark, pages_dir), gap_seconds=10,
+                    # lagging watermark so old rows are still admitted
+                    watermark="1 hour",
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            got = {
+                (r.lang, int((r.session_start - base).total_seconds()),
+                 int((r.session_end - base).total_seconds()), r.n_pages)
+                for r in spark.read.parquet(out).collect()
+            }
+        return got
+
+    # (a) carried open session at t=100; late batch rows at t=5,7 are
+    # 93s BEFORE it — a separate session, closed, not a blind merge
+    got = run("older", [[page("en", 100)], [page("en", 5), page("en", 7)],
+                        [page("en", 200)]])
+    assert ("en", 5, 7, 2) in got
+    assert ("en", 100, 100, 1) in got  # carried session stayed intact
+
+    # (b) carried session at t=50 bridges late rows at t=42 and t=57:
+    # one merged session 42..57 of 3 pages, closed by t=200
+    got = run("bridge", [[page("en", 50)],
+                         [page("en", 42), page("en", 57)],
+                         [page("en", 200)]])
+    assert ("en", 42, 57, 3) in got
+
+    # (c) carried session at t=100 is NEWER than the whole late batch
+    # (t=5): the open session must remain t=100 (merging with t=200
+    # later), and t=5 closes as its own session
+    got = run("newer", [[page("en", 100)], [page("en", 5)],
+                        [page("en", 105)], [page("en", 300)]])
+    assert ("en", 5, 5, 1) in got
+    assert ("en", 100, 105, 2) in got
