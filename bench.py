@@ -126,6 +126,31 @@ def run_suite(spark, sf_dir: str) -> dict:
         timings[name] = round(best, 2)
         _release_cached(spark)
 
+    # One-time ingest cost of the zero-shuffle flagship (VERDICT r2 #4):
+    # kbo_bulk_extract_store reads a pre-bucketed cache, so its timing
+    # is the steady state; this measures the bucketing itself
+    # (materialize_store to a fresh directory, same RAM-backed medium
+    # as the cache) so the flagship claim carries its ingest cost.
+    from pyspark.sql import functions as F
+
+    from extract_cbd_shape_spark.operators.kgtriples import kbo_members
+    from extract_cbd_shape_spark.operators.local_extract import materialize_store
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ingest_dir = tempfile.mkdtemp(prefix="kbo_ingest_", dir=shm)
+    try:
+        t0 = time.time()
+        tri, mem = kbo_members(spark, sf_dir)
+        materialize_store(
+            tri.withColumn("store_key", F.split(F.col("subject"), ":")[1]),
+            mem.withColumn("store_key", F.split(F.col("entity"), ":")[1]),
+            os.path.join(ingest_dir, "store"),
+        )
+        ingest_sec = round(time.time() - t0, 2)
+    finally:
+        shutil.rmtree(ingest_dir, ignore_errors=True)
+    _release_cached(spark)
+
     # Flagship: end-to-end KG pipeline, fresh warehouse.
     wh = tempfile.mkdtemp(prefix="kgbench_")
     try:
@@ -142,6 +167,7 @@ def run_suite(spark, sf_dir: str) -> dict:
         "queries": timings,
         "pipeline_triples": triples,
         "pipeline_sec": pipeline_sec,
+        "store_ingest_sec": ingest_sec,
         # flagship = zero-shuffle extraction over the pre-bucketed
         # store (the 100 TB steady state: bucket once at ingest, then
         # every extraction is scan -> kernel -> sink); the one-shuffle
@@ -178,6 +204,7 @@ def main():
         ),
         "extract_quads_per_sec": out["extract_quads_per_sec"],
         "extract_quads_per_sec_global": out["extract_quads_per_sec_global"],
+        "store_ingest_sec": out["store_ingest_sec"],
         "wall_total_sec": total,
     }
     print(json.dumps(result))

@@ -171,13 +171,33 @@ class BulkCBDShapeExtractor:
         resolver: Optional[Dict[str, List[Quad]]] = None,
         max_rounds: int = 32,
         max_deref_rounds: int = 8,
+        materialize_waves: bool = True,
     ):
+        """``materialize_waves`` picks the CBD wave-loop physical
+        strategy — a genuine cost tradeoff, like exchange reuse vs
+        recompute:
+
+        * True (default): each wave's star join is checkpointed at full
+          quad width; result quads, path targets, trie words and the
+          blank frontier are projections of it, and the final dedup
+          reads checkpoints instead of re-running joins. Optimal when
+          materializing the output once is cheaper than recomputing the
+          joins — the common case (cluster executors write to local
+          NVMe / their own memory bus).
+        * False: each wave checkpoints only a NARROW bookkeeping slice
+          (blank frontier + nodeLink-target rows); result quads stay
+          lazy and the star joins re-execute ONCE inside the caller's
+          final action. Optimal when memory bandwidth or block-storage
+          budget is the constraint (e.g. many extractions sharing one
+          box) — the write traffic scales with bookkeeping, not output.
+        """
         self.spark = spark
         self.shapes_graph = shapes_graph
         self.cbd_default_graph = cbd_default_graph
         self.resolver = resolver or {}
         self.max_rounds = max_rounds
         self.max_deref_rounds = max_deref_rounds
+        self.materialize_waves = materialize_waves
 
     # ------------------------------------------------------------------ API
 
@@ -360,13 +380,13 @@ class _Run:
             )
         else:
             t = t.withColumn("graph_is_member", F.lit(False))
-        # Hash-partition the store by subject once; localCheckpoint
-        # preserves outputPartitioning, so every forward join (frontier
-        # node = subject) reuses it and only the (small) frontier side
-        # shuffles — the Spark analogue of the reference's SPOG index
-        # (lib/Utils.ts:10-23). Inverse joins shuffle both sides; an
-        # object-keyed second copy is the upgrade path if a shape is
-        # inverse-heavy.
+        # Hash-partition the store by subject once; the persisted
+        # exchange output keeps its outputPartitioning, so every forward
+        # join (frontier node = subject) reuses it and only the (small)
+        # frontier side shuffles — the Spark analogue of the reference's
+        # SPOG index (lib/Utils.ts:10-23). Inverse hops use a second,
+        # object-keyed copy (the POSG ordering), built lazily on first
+        # use (_obj_triples).
         if store_partitioned:
             # Caller-provided clustering (bucketed table / upstream
             # repartition): no full-store copy, joins reuse it as-is.
@@ -381,6 +401,9 @@ class _Run:
             self.triples = t.repartition(
                 F.col("subject"), F.col("subject_kind")
             ).persist()
+
+        # Object-keyed store copy for inverse hops, built on first use.
+        self._obj_copy: Optional[DataFrame] = None
 
         # Engine state.
         self.result_parts: List[DataFrame] = []
@@ -418,6 +441,22 @@ class _Run:
                 )
             )
         return df
+
+    def _obj_triples(self) -> DataFrame:
+        """Object-keyed second copy of the store — the reference's POSG
+        index ordering (lib/Utils.ts:10-23, lookup pattern
+        ``(*, p, o=focus, *)`` of lib/Path.ts:52-64). Built lazily on
+        the FIRST inverse hop and persisted, so every inverse join in
+        every wave reuses one clustering instead of re-shuffling the
+        corpus per wave. HashPartitioning on (object_value, object_kind)
+        is a subset of the inverse join's keys, so it satisfies the
+        join's clustered distribution — only the frontier side
+        exchanges. Shapes without inverse paths never pay for it."""
+        if self._obj_copy is None:
+            self._obj_copy = self.triples.repartition(
+                F.col("object_value"), F.col("object_kind")
+            ).persist()
+        return self._obj_copy
 
     def _visited_cbd_df(self) -> DataFrame:
         out = self._visited_cbd_parts[0]
@@ -466,15 +505,23 @@ class _Run:
 
     # ------------------------------------------------------------------ CBD
 
-    def _cbd(self, work: DataFrame) -> DataFrame:
+    def _cbd(self, work: DataFrame,
+             target_preds: frozenset = frozenset()) -> Optional[DataFrame]:
         """CBD star + blank-node closure (lib/CBDShapeExtractor.ts:472-508).
 
         Emits quads into result_parts and words into trie_parts; maintains
         the global per-member blank-visited set. Returns the wave-0 star
-        join, checkpointed at full quad width, so the simple-path stage
-        and nodeLink target derivation reuse it instead of re-running the
-        same (frontier x store) join (VERDICT r2 #1: one materialization
-        per wave).
+        rows projected to the nodeLink-target columns, so the simple-path
+        stage and nodeLink target derivation reuse the wave join instead
+        of re-running the same (frontier x store) join (VERDICT r2 #1:
+        one materialization per wave).
+
+        Physical strategy per ``materialize_waves`` (see the extractor
+        ctor): the wave join is either checkpointed at full quad width
+        (results/targets/frontier read it back) or kept lazy with only a
+        narrow (blank frontier + rows matching ``target_preds``)
+        bookkeeping checkpoint, results re-executing once in the final
+        action.
 
         Memo-revisited wave-0 nodes (reference: extractRecursively always
         re-runs the star; only the BLANK recursion is guarded,
@@ -533,51 +580,77 @@ class _Run:
                 _sql_extend_word(F.col("pos"), "+", F.col("predicate")),
             )
 
-        star0: Optional[DataFrame] = None
+        target_cols = [
+            "member_id", "entity", "entity_kind", *extra, "predicate",
+            "object_value", "object_kind", "object_lang",
+            "object_datatype", "_new_pos",
+        ]
+
+        def tproj(j: DataFrame) -> DataFrame:
+            return j.select(*target_cols)
+
+        def words(j: DataFrame) -> DataFrame:
+            return j.select(
+                "member_id", F.col("_new_pos").alias("word")).distinct()
+
+        def star0() -> Optional[DataFrame]:
+            if not star_parts:
+                return None
+            out = star_parts[0]
+            for p in star_parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        star_parts: List[DataFrame] = []
+        materialize = self.ex.materialize_waves
         if skipped is not None:
             lazy_star = star_join(skipped, extra)
-            star0 = lazy_star
-            self.trie_parts.append(
-                lazy_star.select(
-                    "member_id", F.col("_new_pos").alias("word")
-                ).distinct()
-            )
+            self.trie_parts.append(words(lazy_star))
+            star_parts.append(tproj(lazy_star))
             # Revisit-heavy rounds (every node already CBD-visited —
             # typical for a nodeLink leaf round over nodes the blank
             # closure already walked): nothing fresh to star, so skip
             # the eager wave loop entirely — one cheap anti-join
             # emptiness probe instead of a full store-probe join.
             if self._empty(frontier):
-                return star0
+                return star0()
         wave = 0
         while True:
-            # ONE materialization per wave, at full quad width: result
-            # quads, trie words, the blank-children frontier, and (wave
-            # 0) the simple-path targets are all narrow projections of
-            # this checkpoint. The join itself never re-executes — the
-            # final dedup and the claim aggregate read the checkpoint.
-            # (Round-2 kept the star lazy to avoid this write, but that
-            # traded one output-sized local write for re-running every
-            # star join at the final count AND a second identical join
-            # in the simple stage — strictly more work per round.)
             joined = star_join(frontier, extra if wave == 0 else [])
-            joined = joined.localCheckpoint()
-            if wave == 0:
-                star0 = (
-                    joined if star0 is None
-                    else joined.unionByName(star0)
+            if materialize:
+                # ONE materialization per wave, at full quad width:
+                # result quads, trie words, blank frontier and (wave 0)
+                # the path targets are projections of this checkpoint;
+                # the join never re-executes — the final dedup reads it.
+                joined = joined.localCheckpoint()
+                if wave == 0:
+                    star_parts.append(tproj(joined))
+                nxt_src = joined
+            else:
+                # Narrow bookkeeping checkpoint: ONLY the blank-children
+                # rows + (wave 0) the nodeLink-target rows are written;
+                # results and trie words stay lazy and the star join
+                # re-executes once inside the caller's final action.
+                tp = sorted(target_preds) if wave == 0 else []
+                keep = F.col("object_kind") == F.lit(BLANK)
+                if tp:
+                    keep = keep | F.col("predicate").isin(tp)
+                # waves >= 1 carry no ord/shape_key (blank frontiers
+                # only feed the next CBD wave, never path targets)
+                wave_cols = (
+                    target_cols if wave == 0
+                    else [c for c in target_cols if c not in extra]
                 )
+                narrow = joined.filter(keep).select(
+                    *wave_cols).localCheckpoint()
+                if tp:
+                    star_parts.append(
+                        narrow.filter(F.col("predicate").isin(tp)))
+                nxt_src = narrow
             self.result_parts.append(joined.select("member_id", *QUAD_COLS))
-            self.trie_parts.append(
-                joined.select("member_id", F.col("_new_pos").alias("word")).distinct()
-            )
-            # The next frontier is checkpointed: it is tiny (narrow rows
-            # after the BLANK filter + dedup) and has several consumers
-            # (the emptiness probe, the next wave's join, the visited
-            # union read by later rounds' anti-joins) — one small write
-            # beats re-running the blank aggregate per consumer.
+            self.trie_parts.append(words(joined))
             nxt = (
-                joined.filter(F.col("object_kind") == BLANK)
+                nxt_src.filter(F.col("object_kind") == BLANK)
                 .select(
                     "member_id", "entity", "entity_kind",
                     F.col("object_value").alias("node"),
@@ -596,9 +669,13 @@ class _Run:
                     F.first("entity").alias("entity"),
                     F.first("entity_kind").alias("entity_kind"),
                 )
-            ).localCheckpoint()
+            )
+            if materialize:
+                # tiny; several consumers (emptiness probe, next wave's
+                # join, visited anti-joins) — one small write wins
+                nxt = nxt.localCheckpoint()
             if self._empty(nxt):
-                return star0
+                return star0()
             self._visited_cbd_add(nxt.select("member_id", "node", "node_kind"))
             frontier = nxt.select(
                 "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
@@ -635,7 +712,7 @@ class _Run:
     def _match_predicate(self, path: PredicatePath, focus: DataFrame,
                          inverse: bool) -> DataFrame:
         f = focus.hint("shuffle_hash").alias("f")
-        tt = self.triples.alias("t")
+        tt = (self._obj_triples() if inverse else self.triples).alias("t")
         pred = F.col("t.predicate") == F.lit(path.predicate)
         if not inverse:
             cond = (
@@ -948,9 +1025,21 @@ class _Run:
                     "shape_key", F.lit(shape_key)
                 )
             )
+        # Predicates some nodeLink needs targets for: when a non-closed
+        # forward simple stage is elided (witnesses subset of the CBD
+        # star, see _process_simple_stage), only these predicates still
+        # need their targets — derived from the CBD wave-0 star.
+        link_preds = (
+            {
+                nl.path_pattern.predicate
+                for nl in shape.all_node_links()
+                if isinstance(nl.path_pattern, PredicatePath)
+            }
+            if shape is not None else set()
+        )
         star0: Optional[DataFrame] = None
         if shape is None or not shape.closed:
-            star0 = self._cbd(work)
+            star0 = self._cbd(work, target_preds=frozenset(link_preds))
         if shape is None:
             return []
 
@@ -961,16 +1050,7 @@ class _Run:
         # Per-path match results for nodeLink reuse
         # (lib/CBDShapeExtractor.ts:399,419-428).
         matched_targets: Dict[int, DataFrame] = {}
-        gated_out_rows: Dict[int, DataFrame] = {}
-        # Predicates some nodeLink needs targets for: when a non-closed
-        # forward simple stage is elided (witnesses subset of the CBD
-        # star, see _process_simple_stage), only these predicates still
-        # need their join — the rest of the stage contributes nothing.
-        link_preds = {
-            nl.path_pattern.predicate
-            for nl in shape.all_node_links()
-            if isinstance(nl.path_pattern, PredicatePath)
-        }
+        gated_out_rows: Dict[int, Optional[DataFrame]] = {}
         self._simple_targets_by_pred: Dict[str, DataFrame] = {}
         for kind, payload in _plan_stages(match_paths):
             if kind == "simple":
@@ -1104,7 +1184,7 @@ class _Run:
                 continue
             preds = [p for _, p in items]
             f = focus_base.alias("f")
-            tt = self.triples.alias("t")
+            tt = (self._obj_triples() if inverse else self.triples).alias("t")
             pred_cond = F.col("t.predicate").isin(preds)
             if not inverse:
                 cond = (

@@ -67,3 +67,27 @@ def test_one_or_more_terminates_on_cycle(spark):
     targets = ex.match_path(df, OneOrMorePath(PredicatePath(nxt.value)), [a])
     got = {r.node for r in targets.collect()}
     assert got == {a.value, b.value}
+
+
+def test_inverse_join_uses_object_keyed_copy(spark):
+    """Inverse hops join against a persisted object-keyed store copy
+    (the reference's POSG ordering, lib/Utils.ts:10-23): the results
+    plan must contain NO per-wave re-shuffle of the store by object —
+    the copy is clustered once and every inverse join reuses it via an
+    in-memory scan (VERDICT r2 #3)."""
+    import re
+
+    from extract_cbd_shape_spark.operators import BulkCBDShapeExtractor
+    from extract_cbd_shape_spark.sources.fixtures import quads_to_df
+
+    quads = quads_to_df(spark, parse_trig(load_fixture("05 - paths/data.ttl")))
+    sg = ShapesGraph.from_quads(parse_trig(load_fixture("05 - paths/shape.ttl")))
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=sg)
+    # AllTogetherPathShape nests an inverse inside an alternative inside
+    # a multipath -> several inverse joins across BFS waves
+    res, _ = ex.extract(quads, [Term(IRI, EX + "B")],
+                        shape=Term(IRI, EX + "AllTogetherPathShape"))
+    assert len(res.collect()) == 2  # golden (tests/05 extraction.test.ts)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert not re.findall(r"Exchange hashpartitioning\(object_value", plan)
+    assert "InMemoryTableScan" in plan

@@ -20,7 +20,9 @@ Jobs (sized so executor work dominates fixed driver overhead):
   per-copy-decorrelated corpus (vowel rotation so copies are NOT
   near-duplicates of each other; candidate pairs stay linear).
 
-Usage: python tools/bench_scaling.py [sf_dir] [lo_cpus] [hi_cpus]
+Usage: python tools/bench_scaling.py [sf_dir] [lo_cpus] [hi_cpus] [job ...]
+(with job names given, only those rows are measured and printed;
+BENCH.md is rewritten only on a full run)
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 LO = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 HI = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+ONLY = set(sys.argv[4:])
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "16"))
 N_SAMPLES = int(os.environ.get("SPARK_GRAFT_SAMPLES", "2"))
 
@@ -43,6 +46,8 @@ sys.path.insert(0, REPO_PATH)
 job = sys.argv[1]; cpus = int(sys.argv[2]); sf_dir = sys.argv[3]
 replicate = int(sys.argv[4])
 kbo_rep = {"extract_global": replicate,
+           "extract_global_lean": replicate,
+           "extract_global_lean_ctrl": replicate,
            "extract_local": replicate,
            # interpreter kernel is ~8x the CPU per quad: quarter corpus
            # keeps the cell wall-clock comparable
@@ -52,6 +57,12 @@ mh_rep = replicate * 4
 from bench import build_spark
 spark = build_spark(cpus)
 spark.sparkContext.setLogLevel("ERROR")
+if job.endswith("_ctrl"):
+    # CPU-bound control: whole-stage codegen off multiplies CPU per
+    # row without changing bytes moved — if efficiency rises here, the
+    # base row's gap is the shared memory bus, not the plan.
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    job = job[: -len("_ctrl")]
 from pyspark.sql import functions as F
 from extract_cbd_shape_spark.operators.kgtriples import (
     kbo_members, KBO_SHAPE_TTL, KBO_SHAPE_IRI)
@@ -78,13 +89,22 @@ def kbo_input(rep, with_store):
     m.write.mode("overwrite").parquet(work + "/m")
     return spark.read.parquet(work + "/t"), spark.read.parquet(work + "/m")
 
-if job == "extract_global":
+if job in ("extract_global", "extract_global_lean"):
+    # _lean: materialize_waves=False — wave joins keep only a narrow
+    # bookkeeping checkpoint and results recompute once in the final
+    # count. On one shared memory bus (this sandbox) the lean plan
+    # scales better; with per-executor buses the materializing plan
+    # has strictly less compute. Both are measured as evidence of the
+    # cost tradeoff the knob exposes.
+    mat = job == "extract_global"
     wt, wm = kbo_members(spark, "/root/testdata/sf0.001")
-    BulkCBDShapeExtractor(spark, shapes_graph=shapes).extract(
+    BulkCBDShapeExtractor(
+        spark, shapes_graph=shapes, materialize_waves=mat).extract(
         wt, wm, shape=shape)[0].count()  # warm
     triples, members = kbo_input(kbo_rep, with_store=False)
     t0 = time.time()
-    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    ex = BulkCBDShapeExtractor(
+        spark, shapes_graph=shapes, materialize_waves=mat)
     n = ex.extract(triples, members, shape=shape)[0].count()
     out = dict(sec=time.time() - t0, units=n)
 elif job in ("extract_local", "extract_local_interp"):
@@ -176,6 +196,10 @@ spark.stop()
 
 JOBS = [
     ("extract_global", "bulk shape extraction, global engine (quads/s)"),
+    ("extract_global_lean",
+     "global engine, lean waves (materialize_waves=False) (quads/s)"),
+    ("extract_global_lean_ctrl",
+     "global engine lean, codegen off (CPU-bound control) (quads/s)"),
     ("extract_local",
      "bulk shape extraction, pre-bucketed store, zero-shuffle (quads/s)"),
     ("extract_local_interp",
@@ -209,14 +233,15 @@ def run(job: str, cpus: int) -> dict:
 
 
 def main():
+    jobs = [(j, l) for j, l in JOBS if not ONLY or j in ONLY]
     results = {}
-    for job, _ in JOBS:
+    for job, _ in jobs:
         results[job] = {"lo": run(job, LO), "hi": run(job, HI)}
         print(f"done {job}: {results[job]}", file=sys.stderr)
 
     ratio = HI / LO
     rows = []
-    for job, label in JOBS:
+    for job, label in jobs:
         lo, hi = results[job]["lo"], results[job]["hi"]
         tp_lo = lo["units"] / lo["sec"]
         tp_hi = hi["units"] / hi["sec"]
@@ -252,8 +277,9 @@ cluster behavior.
 
 Raw: {json.dumps(dict(results=results, replicate=REPLICATE))}
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    if not ONLY:
+        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+            f.write(md)
     print(md)
 
 
