@@ -171,25 +171,27 @@ class BulkCBDShapeExtractor:
         resolver: Optional[Dict[str, List[Quad]]] = None,
         max_rounds: int = 32,
         max_deref_rounds: int = 8,
-        materialize_waves: bool = True,
+        materialize_waves: bool = False,
     ):
         """``materialize_waves`` picks the CBD wave-loop physical
         strategy — a genuine cost tradeoff, like exchange reuse vs
         recompute:
 
-        * True (default): each wave's star join is checkpointed at full
-          quad width; result quads, path targets, trie words and the
-          blank frontier are projections of it, and the final dedup
-          reads checkpoints instead of re-running joins. Optimal when
-          materializing the output once is cheaper than recomputing the
-          joins — the common case (cluster executors write to local
-          NVMe / their own memory bus).
-        * False: each wave checkpoints only a NARROW bookkeeping slice
-          (blank frontier + nodeLink-target rows); result quads stay
-          lazy and the star joins re-execute ONCE inside the caller's
-          final action. Optimal when memory bandwidth or block-storage
-          budget is the constraint (e.g. many extractions sharing one
-          box) — the write traffic scales with bookkeeping, not output.
+        * False (default): each wave checkpoints only a NARROW
+          bookkeeping slice (blank frontier + nodeLink-target rows);
+          result quads stay lazy and the star joins re-execute ONCE
+          inside the caller's final action. Write traffic scales with
+          bookkeeping, not output — measured faster at every
+          parallelism level tried (2/8/32 cores, BENCH.md), since the
+          recompute is one extra probe of an already-clustered store
+          while the full-width checkpoint is an output-sized write.
+        * True: each wave's star join is checkpointed at full quad
+          width; result quads, path targets, trie words and the blank
+          frontier are projections of it, and the final dedup reads
+          checkpoints instead of re-running joins. Candidate when the
+          downstream action is much wider than the bookkeeping slice
+          (e.g. several separate actions re-consume the waves) or
+          executor-local NVMe makes output-sized writes cheap.
         """
         self.spark = spark
         self.shapes_graph = shapes_graph

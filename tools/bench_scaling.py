@@ -46,8 +46,8 @@ sys.path.insert(0, REPO_PATH)
 job = sys.argv[1]; cpus = int(sys.argv[2]); sf_dir = sys.argv[3]
 replicate = int(sys.argv[4])
 kbo_rep = {"extract_global": replicate,
-           "extract_global_lean": replicate,
-           "extract_global_lean_ctrl": replicate,
+           "extract_global_mat": replicate,
+           "extract_global_ctrl": replicate,
            "extract_local": replicate,
            # interpreter kernel is ~8x the CPU per quad: quarter corpus
            # keeps the cell wall-clock comparable
@@ -89,14 +89,13 @@ def kbo_input(rep, with_store):
     m.write.mode("overwrite").parquet(work + "/m")
     return spark.read.parquet(work + "/t"), spark.read.parquet(work + "/m")
 
-if job in ("extract_global", "extract_global_lean"):
-    # _lean: materialize_waves=False — wave joins keep only a narrow
-    # bookkeeping checkpoint and results recompute once in the final
-    # count. On one shared memory bus (this sandbox) the lean plan
-    # scales better; with per-executor buses the materializing plan
-    # has strictly less compute. Both are measured as evidence of the
-    # cost tradeoff the knob exposes.
-    mat = job == "extract_global"
+if job in ("extract_global", "extract_global_mat"):
+    # default = lean waves (materialize_waves=False): wave joins keep
+    # only a narrow bookkeeping checkpoint and results recompute once
+    # in the final count. _mat measures the materializing variant
+    # (full-width wave checkpoints) as evidence of the cost tradeoff
+    # the knob exposes.
+    mat = job == "extract_global_mat"
     wt, wm = kbo_members(spark, "/root/testdata/sf0.001")
     BulkCBDShapeExtractor(
         spark, shapes_graph=shapes, materialize_waves=mat).extract(
@@ -195,11 +194,12 @@ spark.stop()
 '''
 
 JOBS = [
-    ("extract_global", "bulk shape extraction, global engine (quads/s)"),
-    ("extract_global_lean",
-     "global engine, lean waves (materialize_waves=False) (quads/s)"),
-    ("extract_global_lean_ctrl",
-     "global engine lean, codegen off (CPU-bound control) (quads/s)"),
+    ("extract_global",
+     "bulk shape extraction, global engine (lean waves, default) (quads/s)"),
+    ("extract_global_mat",
+     "global engine, materializing waves (materialize_waves=True) (quads/s)"),
+    ("extract_global_ctrl",
+     "global engine, codegen off (CPU-bound control) (quads/s)"),
     ("extract_local",
      "bulk shape extraction, pre-bucketed store, zero-shuffle (quads/s)"),
     ("extract_local_interp",
