@@ -18,13 +18,40 @@ from pyspark.sql import functions as F
 
 def transitive_closure(edges: DataFrame, seeds: DataFrame,
                        max_iters: int = 50,
-                       include_seeds: bool = True) -> DataFrame:
+                       include_seeds: bool = True,
+                       method: str = "auto") -> DataFrame:
     """All nodes reachable from seeds. edges: (src, dst); seeds: (node).
-    Returns (seed, node) pairs — ``seed`` is the originating seed."""
+    Returns (seed, node) pairs — ``seed`` is the originating seed.
+
+    ``method``:
+
+    * ``"bfs"`` — one frontier join per round; rounds = graph diameter.
+      The safe default shape for arbitrary fan-out: per-round state is
+      the frontier, never more than the output.
+    * ``"jump"`` — pointer jumping for FUNCTIONAL graphs (out-degree
+      <= 1, e.g. next-in-chain edges): the successor map is squared
+      each round (exactly-2^k-step hops stay <= |V| rows when
+      out-degree is <= 1), so a depth-D chain closes in ceil(log2 D)
+      rounds instead of D. On a fan-out graph the squared map is
+      path-counting and can explode — callers force this only for
+      functional edge sets.
+    * ``"auto"`` — one map-side-combinable aggregation probes
+      max out-degree and picks ``jump`` iff the edges are functional.
+
+    Both methods return identical (seed, node) sets (parity-tested);
+    ``max_iters`` caps rounds — depth ``max_iters`` for bfs,
+    ``2^max_iters - 1`` for jump.
+    """
+    e0 = edges.select("src", "dst")
+    if method == "auto":
+        fanout = e0.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        method = "jump" if fanout.filter(F.col("c") > 1).isEmpty() else "bfs"
+    if method == "jump":
+        return _closure_pointer_jump(e0, seeds, max_iters, include_seeds)
     # Edges partitioned by the join key ONCE — localCheckpoint keeps
     # the partitioning, so each round's join shuffles only the (small)
     # frontier side instead of re-shuffling the edge set per round.
-    e = edges.select("src", "dst").repartition(F.col("src")).localCheckpoint()
+    e = e0.repartition(F.col("src")).localCheckpoint()
     frontier = seeds.select(
         F.col("node").alias("seed"), F.col("node")
     ).localCheckpoint()
@@ -47,6 +74,49 @@ def transitive_closure(edges: DataFrame, seeds: DataFrame,
             break
         parts.append(nxt)
         frontier = nxt
+    if not include_seeds:
+        parts = parts[1:] if len(parts) > 1 else [parts[0].limit(0)]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def _closure_pointer_jump(edges: DataFrame, seeds: DataFrame,
+                          max_iters: int, include_seeds: bool) -> DataFrame:
+    """Closure over a functional (out-degree <= 1) edge set in
+    O(log diameter) rounds: round k steps the FULL reached set through
+    the exactly-2^k-hop successor map, then squares the map. Reached
+    stays a lazy union of per-round checkpointed parts, exactly like
+    the bfs path, so the two methods emit identical pair sets — a seed
+    re-reached through a cycle is anti-joined out by the identity part
+    in both."""
+    succ = edges.repartition(F.col("src")).localCheckpoint()
+    parts = [seeds.select(
+        F.col("node").alias("seed"), F.col("node")).localCheckpoint()]
+    for _ in range(max_iters):
+        reached = parts[0]
+        for p in parts[1:]:
+            reached = reached.unionByName(p)
+        stepped = (
+            reached.join(succ, reached.node == succ.src)
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(reached, ["seed", "node"], "left_anti")
+            .localCheckpoint()
+        )
+        if stepped.isEmpty():
+            break
+        parts.append(stepped)
+        succ = (
+            succ.alias("a")
+            .join(succ.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .repartition(F.col("src"))
+            .localCheckpoint()
+        )
+        if succ.isEmpty():
+            break
     if not include_seeds:
         parts = parts[1:] if len(parts) > 1 else [parts[0].limit(0)]
     res = parts[0]

@@ -71,6 +71,33 @@ def test_transitive_closure_cycle(spark):
     assert got == {(1, 1), (1, 2), (1, 3)}
 
 
+def test_transitive_closure_jump_matches_bfs(spark):
+    # deep chain + cycle + disconnected piece: functional edge set, so
+    # auto routes to pointer jumping; pin jump == bfs pair-for-pair,
+    # with and without the identity part
+    rows = [(i, i + 1) for i in range(1, 40)] + [(40, 17), (100, 101)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (100,), (999,)], "node long")
+    for inc in (True, False):
+        bfs = {(r.seed, r.node) for r in transitive_closure(
+            edges, seeds, include_seeds=inc, method="bfs").collect()}
+        jump = {(r.seed, r.node) for r in transitive_closure(
+            edges, seeds, include_seeds=inc, method="jump").collect()}
+        assert jump == bfs
+    assert (1, 1) in bfs or not inc
+
+
+def test_transitive_closure_auto_fanout_uses_bfs(spark):
+    # fan-out (src 1 has two successors) must NOT take the jump path;
+    # auto still returns the right closure
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {(r.seed, r.node) for r in transitive_closure(edges, seeds).collect()}
+    assert got == {(1, 1), (1, 2), (1, 3), (1, 4)}
+
+
 def test_connected_components_chain_and_star(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (10, 12), (10, 13), (20, 20)],

@@ -205,6 +205,8 @@ JOBS = [
     ("extract_local_interp",
      "same dataflow, interpreter kernel (CPU-bound control) (quads/s)"),
     ("pipeline", "KG pipeline e2e (triples/s)"),
+    ("pipeline_ctrl",
+     "KG pipeline e2e, codegen off (CPU-bound control) (triples/s)"),
     ("minhash", "MinHash-LSH dedup (docs/s)"),
 ]
 
