@@ -39,6 +39,7 @@ from extract_cbd_shape_spark.operators.kgtriples import (
     ORACLE_TRIPLES_CTE,
     kbo_members,
     tpch_triples,
+    with_store_key,
 )
 from extract_cbd_shape_spark.operators.linking import link_mentions
 from extract_cbd_shape_spark.operators.similarity import (
@@ -164,8 +165,7 @@ def _q_kbo_bulk_extract_local(spark, sf_dir):
 
     triples, members = kbo_members(spark, sf_dir)
     shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
-    t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
-    m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    t2, m2 = with_store_key(triples, members)
     # projection pushed through the Arrow boundary: the kernel emits
     # only the 4 requested columns instead of all 10
     return local_bulk_extract(
@@ -189,8 +189,7 @@ def _q_kbo_bulk_extract_local_ext(spark, sf_dir):
 
     triples, members = kbo_members(spark, sf_dir)
     shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_EXT_TTL))
-    t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
-    m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    t2, m2 = with_store_key(triples, members)
     return local_bulk_extract(
         t2, m2, shapes_graph=shapes, shape=Term(IRI, KBO_SHAPE_EXT_IRI),
         columns=["entity", "subject", "predicate", "object_value"],
@@ -226,8 +225,7 @@ def _q_kbo_bulk_extract_store(spark, sf_dir):
     path = os.path.join(cache_root, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         triples, members = kbo_members(spark, sf_dir)
-        t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
-        m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+        t2, m2 = with_store_key(triples, members)
         materialize_store(t2, m2, path)
     shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
     return local_bulk_extract_prebucketed(

@@ -140,11 +140,11 @@ def run_suite(spark, sf_dir: str) -> dict:
     ingest_dir = tempfile.mkdtemp(prefix="kbo_ingest_", dir=shm)
     try:
         t0 = time.time()
-        tri, mem = kbo_members(spark, sf_dir)
+        from extract_cbd_shape_spark.operators.kgtriples import with_store_key
+
+        tri, mem = with_store_key(*kbo_members(spark, sf_dir))
         materialize_store(
-            tri.withColumn("store_key", F.split(F.col("subject"), ":")[1]),
-            mem.withColumn("store_key", F.split(F.col("entity"), ":")[1]),
-            os.path.join(ingest_dir, "store"),
+            tri, mem, os.path.join(ingest_dir, "store"),
         )
         ingest_sec = round(time.time() - t0, 2)
     finally:

@@ -40,31 +40,42 @@ def transitive_closure(edges: DataFrame, seeds: DataFrame,
 
     Both methods return identical (seed, node) sets (parity-tested);
     ``max_iters`` caps rounds — depth ``max_iters`` for bfs,
-    ``2^max_iters - 1`` for jump.
+    ``2^max_iters - 1`` for jump. A seed re-reached through a cycle is
+    anti-joined out by the identity part in both methods.
     """
-    e0 = edges.select("src", "dst")
+    # Edges partitioned by the join key ONCE and checkpointed BEFORE
+    # the auto probe, so probing never recomputes the caller's edge
+    # plan (e.g. a window), and every round's join reuses the one
+    # clustering — only the (small) frontier side shuffles per round.
+    e = edges.select("src", "dst").repartition(F.col("src")).localCheckpoint()
     if method == "auto":
-        fanout = e0.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        # countDistinct: duplicate (src, dst) rows are still functional
+        fanout = e.groupBy("src").agg(F.countDistinct("dst").alias("c"))
         method = "jump" if fanout.filter(F.col("c") > 1).isEmpty() else "bfs"
-    if method == "jump":
-        return _closure_pointer_jump(e0, seeds, max_iters, include_seeds)
-    # Edges partitioned by the join key ONCE — localCheckpoint keeps
-    # the partitioning, so each round's join shuffles only the (small)
-    # frontier side instead of re-shuffling the edge set per round.
-    e = e0.repartition(F.col("src")).localCheckpoint()
-    frontier = seeds.select(
+    if method not in ("bfs", "jump"):
+        raise ValueError(f"unknown transitive_closure method {method!r}")
+    jump = method == "jump"
+    # dedupe the 1-hop successor map so squaring cannot multiply
+    # duplicate rows; HashPartitioning(src) satisfies the (src, dst)
+    # clustered distribution, so this adds no exchange
+    succ = e.distinct() if jump else e
+    ident = seeds.select(
         F.col("node").alias("seed"), F.col("node")
     ).localCheckpoint()
     # reached = LAZY union of per-round checkpointed parts (each part
     # materialized once) — re-checkpointing the whole reached set per
     # round copied O(rounds * reached) to executor storage.
-    parts = [frontier]
+    parts = [ident]
+    frontier = ident
     for _ in range(max_iters):
-        reached = parts[0]
-        for p in parts[1:]:
-            reached = reached.unionByName(p)
+        reached = _union(parts)
+        # bfs steps only the newest frontier through 1-hop edges; jump
+        # steps the FULL reached set through the exactly-2^k-hop map
+        # (round k covers distances [2^k, 2^(k+1)) — reached holds
+        # everything below 2^k)
+        src_side = reached if jump else frontier
         nxt = (
-            frontier.join(e, frontier.node == e.src)
+            src_side.join(succ, src_side.node == succ.src)
             .select("seed", F.col("dst").alias("node"))
             .distinct()
             .join(reached, ["seed", "node"], "left_anti")
@@ -74,55 +85,28 @@ def transitive_closure(edges: DataFrame, seeds: DataFrame,
             break
         parts.append(nxt)
         frontier = nxt
+        if jump:
+            succ = (
+                succ.alias("a")
+                .join(succ.alias("b"), F.col("a.dst") == F.col("b.src"))
+                .select(
+                    F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+                )
+                .repartition(F.col("src"))
+                .localCheckpoint()
+            )
+            if succ.isEmpty():
+                break
     if not include_seeds:
         parts = parts[1:] if len(parts) > 1 else [parts[0].limit(0)]
-    res = parts[0]
-    for p in parts[1:]:
-        res = res.unionByName(p)
-    return res
+    return _union(parts)
 
 
-def _closure_pointer_jump(edges: DataFrame, seeds: DataFrame,
-                          max_iters: int, include_seeds: bool) -> DataFrame:
-    """Closure over a functional (out-degree <= 1) edge set in
-    O(log diameter) rounds: round k steps the FULL reached set through
-    the exactly-2^k-hop successor map, then squares the map. Reached
-    stays a lazy union of per-round checkpointed parts, exactly like
-    the bfs path, so the two methods emit identical pair sets — a seed
-    re-reached through a cycle is anti-joined out by the identity part
-    in both."""
-    succ = edges.repartition(F.col("src")).localCheckpoint()
-    parts = [seeds.select(
-        F.col("node").alias("seed"), F.col("node")).localCheckpoint()]
-    for _ in range(max_iters):
-        reached = parts[0]
-        for p in parts[1:]:
-            reached = reached.unionByName(p)
-        stepped = (
-            reached.join(succ, reached.node == succ.src)
-            .select("seed", F.col("dst").alias("node"))
-            .distinct()
-            .join(reached, ["seed", "node"], "left_anti")
-            .localCheckpoint()
-        )
-        if stepped.isEmpty():
-            break
-        parts.append(stepped)
-        succ = (
-            succ.alias("a")
-            .join(succ.alias("b"), F.col("a.dst") == F.col("b.src"))
-            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
-            .repartition(F.col("src"))
-            .localCheckpoint()
-        )
-        if succ.isEmpty():
-            break
-    if not include_seeds:
-        parts = parts[1:] if len(parts) > 1 else [parts[0].limit(0)]
-    res = parts[0]
+def _union(parts):
+    out = parts[0]
     for p in parts[1:]:
-        res = res.unionByName(p)
-    return res
+        out = out.unionByName(p)
+    return out
 
 
 def connected_components(edges: DataFrame, max_iters: int = 30) -> DataFrame:

@@ -200,6 +200,24 @@ class BulkCBDShapeExtractor:
         self.max_rounds = max_rounds
         self.max_deref_rounds = max_deref_rounds
         self.materialize_waves = materialize_waves
+        # persisted store copies / trie caches created by runs of this
+        # extractor, released by release()
+        self._persisted: List[DataFrame] = []
+
+    def release(self) -> None:
+        """Unpersist every cached artifact this extractor's runs created
+        (subject-keyed store copy, object-keyed inverse copy, trie
+        parts). Call once the returned result/flags DataFrames have been
+        fully consumed — long-lived drivers that extract repeatedly
+        would otherwise accumulate corpus-sized cache entries per run.
+        Results stay CORRECT after release (with ``materialize_waves=
+        False`` a later action re-runs its star joins against the
+        un-cached store — slower, never wrong). Unpersisting an
+        already-released DataFrame is a no-op, so calling this between
+        every extraction is safe."""
+        for df in self._persisted:
+            df.unpersist(blocking=False)
+        self._persisted = []
 
     # ------------------------------------------------------------------ API
 
@@ -403,6 +421,7 @@ class _Run:
             self.triples = t.repartition(
                 F.col("subject"), F.col("subject_kind")
             ).persist()
+            ex._persisted.append(self.triples)
 
         # Object-keyed store copy for inverse hops, built on first use.
         self._obj_copy: Optional[DataFrame] = None
@@ -458,6 +477,7 @@ class _Run:
             self._obj_copy = self.triples.repartition(
                 F.col("object_value"), F.col("object_kind")
             ).persist()
+            self.ex._persisted.append(self._obj_copy)
         return self._obj_copy
 
     def _visited_cbd_df(self) -> DataFrame:
@@ -494,6 +514,7 @@ class _Run:
         # intermediate round's trie has been materialized by its gate
         # joins, so no lazy consumer still needs the dropped cache.
         new = self._trie_df().distinct().persist()
+        self.ex._persisted.append(new)
         self.trie_parts = [new]
         pending = getattr(self, "_trie_persisted", [])
         pending.append(new)

@@ -149,6 +149,17 @@ ex:AddressShape a sh:NodeShape ;""",
 KBO_SHAPE_EXT_IRI = "http://example.org/bench/LegalEntityShapeExt"
 
 
+def with_store_key(triples: DataFrame, members: DataFrame):
+    """KBO corpus store key — the numeric segment of the ``m:NNN`` /
+    ``ex:NNN`` IRIs, i.e. one store (page) per member. The ONE
+    definition shared by the flagship queries, bench ingest timing and
+    the scaling jobs, so they always bucket the corpus identically."""
+    return (
+        triples.withColumn("store_key", F.split(F.col("subject"), ":")[1]),
+        members.withColumn("store_key", F.split(F.col("entity"), ":")[1]),
+    )
+
+
 def kbo_members(spark: SparkSession, sf_dir: str,
                 named_graphs: bool = False, replicate: int = 1):
     """(triples_df, members_df): one ~13-quad member per orders row.

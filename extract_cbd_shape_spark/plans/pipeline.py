@@ -103,6 +103,7 @@ class KGConstructionPipeline:
             # Seeds stay distributed: a DataFrame of distinct subjects
             # (collecting 10^12-scale subject lists to the driver is the
             # one thing this pipeline must never do).
+            ex = None
             if self.local_extraction:
                 from extract_cbd_shape_spark.operators.local_extract import (
                     local_bulk_extract,
@@ -184,6 +185,10 @@ class KGConstructionPipeline:
             manifests["entity_triples"] = materialize_table(
                 entity_triples, self._table("entity_triples"), "extract_entities"
             )
+            if ex is not None:
+                # stage output is materialized — drop the run's cached
+                # store copies before the next stage claims memory
+                ex.release()
         entity_triples = read_latest_snapshot(spark, self._table("entity_triples"))
 
         # Stage 3 — entity linking (salted broadcast dictionary join).

@@ -84,7 +84,23 @@ def test_transitive_closure_jump_matches_bfs(spark):
         jump = {(r.seed, r.node) for r in transitive_closure(
             edges, seeds, include_seeds=inc, method="jump").collect()}
         assert jump == bfs
-    assert (1, 1) in bfs or not inc
+        assert ((1, 1) in bfs) == inc
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        transitive_closure(edges, seeds, method="Jump")
+
+
+def test_transitive_closure_auto_duplicate_edges_still_jump(spark):
+    # duplicate (src, dst) rows are still a functional graph — the
+    # probe must not read them as fan-out (countDistinct) and the
+    # squared successor map must not multiply them
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {(r.seed, r.node) for r in transitive_closure(edges, seeds).collect()}
+    assert got == {(1, 1), (1, 2), (1, 3), (1, 4)}
 
 
 def test_transitive_closure_auto_fanout_uses_bfs(spark):

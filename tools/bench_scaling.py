@@ -65,7 +65,7 @@ if job.endswith("_ctrl"):
     job = job[: -len("_ctrl")]
 from pyspark.sql import functions as F
 from extract_cbd_shape_spark.operators.kgtriples import (
-    kbo_members, KBO_SHAPE_TTL, KBO_SHAPE_IRI)
+    kbo_members, with_store_key, KBO_SHAPE_TTL, KBO_SHAPE_IRI)
 from extract_cbd_shape_spark.operators import BulkCBDShapeExtractor
 from extract_cbd_shape_spark.operators.local_extract import local_bulk_extract
 from extract_cbd_shape_spark.rdf import parse_trig
@@ -83,8 +83,7 @@ work = tempfile.mkdtemp(prefix="scalin_")
 def kbo_input(rep, with_store):
     t, m = kbo_members(spark, sf_dir, replicate=rep)
     if with_store:
-        t = t.withColumn("store_key", F.split(F.col("subject"), ":")[1])
-        m = m.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+        t, m = with_store_key(t, m)
     t.write.mode("overwrite").parquet(work + "/t")
     m.write.mode("overwrite").parquet(work + "/m")
     return spark.read.parquet(work + "/t"), spark.read.parquet(work + "/m")
@@ -111,8 +110,7 @@ elif job in ("extract_local", "extract_local_interp"):
     from extract_cbd_shape_spark.operators.local_extract import (
         local_bulk_extract_prebucketed, materialize_store, read_store)
     wt, wm = kbo_members(spark, "/root/testdata/sf0.001")
-    wt = wt.withColumn("store_key", F.split(F.col("subject"), ":")[1])
-    wm = wm.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    wt, wm = with_store_key(wt, wm)
     wst = read_store(spark, materialize_store(wt, wm, work + "/wstore"))
     local_bulk_extract_prebucketed(
         wst, shapes_graph=shapes, shape=shape,
@@ -121,8 +119,7 @@ elif job in ("extract_local", "extract_local_interp"):
     # bucketed once when it lands, extractions run many times. The
     # timed job is the steady state: zero-shuffle scan -> kernel.
     tl, ml = kbo_members(spark, sf_dir, replicate=kbo_rep)
-    tl = tl.withColumn("store_key", F.split(F.col("subject"), ":")[1])
-    ml = ml.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    tl, ml = with_store_key(tl, ml)
     # Fixed bucket count at BOTH levels: identical input bytes, and
     # enough tasks per core (256/8 = 32 waves at the hi level) that
     # last-wave stragglers don't distort the efficiency ratio — the
