@@ -391,13 +391,20 @@ class _Run:
             member_graphs = self.members_df.filter(
                 F.col("entity_kind") == IRI
             ).select(F.col("entity").alias("graph")).distinct()
-            t = t.join(
+            # Only quads in a NAMED graph can match a member graph: the
+            # default-graph rows (the vast majority of a web corpus)
+            # bypass the join entirely instead of being shuffled/sorted
+            # against the member-scaled graph list.
+            named = t.filter(F.col("graph").isNotNull()).join(
                 member_graphs.withColumn("graph_is_member", F.lit(True)),
                 "graph",
                 "left",
             ).withColumn(
                 "graph_is_member", F.coalesce(F.col("graph_is_member"), F.lit(False))
             )
+            t = t.filter(F.col("graph").isNull()).withColumn(
+                "graph_is_member", F.lit(False)
+            ).unionByName(named)
         else:
             t = t.withColumn("graph_is_member", F.lit(False))
         # Hash-partition the store by subject once; the persisted
@@ -648,32 +655,10 @@ class _Run:
                 joined = joined.localCheckpoint()
                 if wave == 0:
                     star_parts.append(tproj(joined))
-                nxt_src = joined
-            else:
-                # Narrow bookkeeping checkpoint: ONLY the blank-children
-                # rows + (wave 0) the nodeLink-target rows are written;
-                # results and trie words stay lazy and the star join
-                # re-executes once inside the caller's final action.
-                tp = sorted(target_preds) if wave == 0 else []
-                keep = F.col("object_kind") == F.lit(BLANK)
-                if tp:
-                    keep = keep | F.col("predicate").isin(tp)
-                # waves >= 1 carry no ord/shape_key (blank frontiers
-                # only feed the next CBD wave, never path targets)
-                wave_cols = (
-                    target_cols if wave == 0
-                    else [c for c in target_cols if c not in extra]
-                )
-                narrow = joined.filter(keep).select(
-                    *wave_cols).localCheckpoint()
-                if tp:
-                    star_parts.append(
-                        narrow.filter(F.col("predicate").isin(tp)))
-                nxt_src = narrow
             self.result_parts.append(joined.select("member_id", *QUAD_COLS))
             self.trie_parts.append(words(joined))
-            nxt = (
-                nxt_src.filter(F.col("object_kind") == BLANK)
+            blank_children = (
+                joined.filter(F.col("object_kind") == BLANK)
                 .select(
                     "member_id", "entity", "entity_kind",
                     F.col("object_value").alias("node"),
@@ -696,7 +681,51 @@ class _Run:
             if materialize:
                 # tiny; several consumers (emptiness probe, next wave's
                 # join, visited anti-joins) — one small write wins
-                nxt = nxt.localCheckpoint()
+                nxt = blank_children.localCheckpoint()
+            else:
+                # Lean mode: ONE fused job per wave — the star join, the
+                # blank-children anti-join AND the next-frontier claim
+                # aggregate all run inside a single checkpoint; the
+                # emptiness probe and every later consumer (next wave's
+                # join, visited anti-joins) read materialized rows
+                # instead of re-running the aggregate (r2 profile: the
+                # probe-and-recompute pattern cost ~0.6s of fixed serial
+                # time per wave at 4 cores). Results and trie words stay
+                # lazy on ``joined`` and re-execute once in the caller's
+                # final action — the lean-mode contract.
+                tp = sorted(target_preds) if wave == 0 else []
+                if tp:
+                    # Wave-0 additionally needs the nodeLink-target rows:
+                    # they share the SAME checkpoint as the frontier,
+                    # told apart by a NULL predicate (impossible for a
+                    # real quad; the frontier marker rows carry the
+                    # claimed node in the object columns).
+                    markers = blank_children.select(
+                        "member_id", "entity", "entity_kind",
+                        *[F.lit(None).cast("string").alias(c) for c in extra],
+                        F.lit(None).cast("string").alias("predicate"),
+                        F.col("node").alias("object_value"),
+                        F.col("node_kind").alias("object_kind"),
+                        F.lit(None).cast("string").alias("object_lang"),
+                        F.lit(None).cast("string").alias("object_datatype"),
+                        F.col("pos").alias("_new_pos"),
+                    )
+                    combined = (
+                        joined.filter(F.col("predicate").isin(tp))
+                        .select(*target_cols)
+                        .unionByName(markers)
+                        .localCheckpoint()
+                    )
+                    star_parts.append(
+                        combined.filter(F.col("predicate").isNotNull()))
+                    nxt = combined.filter(F.col("predicate").isNull()).select(
+                        "member_id", "entity", "entity_kind",
+                        F.col("object_value").alias("node"),
+                        F.col("object_kind").alias("node_kind"),
+                        F.col("_new_pos").alias("pos"),
+                    )
+                else:
+                    nxt = blank_children.localCheckpoint()
             if self._empty(nxt):
                 return star0()
             self._visited_cbd_add(nxt.select("member_id", "node", "node_kind"))
@@ -1017,8 +1046,13 @@ class _Run:
         # web scale it's billions of rows — building that on the driver
         # is the failure mode). AQE sees the true build-side size at
         # runtime and picks broadcast when members are genuinely small.
+        # shuffle_hash (build = members): without it this falls to a
+        # sort-merge join that SORTS the full output by member_id — at
+        # corpus scale the single most memory-bandwidth-expensive step
+        # of the final action; hashing the member side streams the
+        # output unsorted.
         results = results.dropDuplicates(["member_id", *QUAD_COLS]).join(
-            self.members_df, "member_id"
+            self.members_df.hint("shuffle_hash"), "member_id"
         )
         # Returned LAZY: eagerly checkpointing here materialized the
         # full output once to storage and again at the caller's action —

@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 REP = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+BULK = os.environ.get("PROFILE_BULK", "0") == "1"  # match bench_scaling's bulk=True
 
 try:  # PySpark 4: concrete methods live on the classic subclass
     import pyspark.sql.classic.dataframe as dfm
@@ -80,13 +81,13 @@ shape = Term(IRI, KBO_SHAPE_IRI)
 # warm
 wt, wm = kbo_members(spark, "/root/testdata/sf0.001")
 ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
-ex.extract(wt, wm, shape=shape, bulk=False)[0].count()
+ex.extract(wt, wm, shape=shape, bulk=BULK)[0].count()
 TIMES.clear()
 COUNTS.clear()
 
 triples, members = kbo_members(spark, SF_DIR, replicate=REP) if REP > 1 else kbo_members(spark, SF_DIR)
 t0 = time.time()
-n = ex.extract(triples, members, shape=shape, bulk=False)[0].count()
+n = ex.extract(triples, members, shape=shape, bulk=BULK)[0].count()
 total = time.time() - t0
 
 print(f"\nTOTAL {total:.2f}s  rows={n}  cpus={CPUS}")
