@@ -444,6 +444,11 @@ class _Run:
         # parts list elides the memo-skip branch driver-side.
         self._visited_cbd_parts: List[DataFrame] = []
         self.processed_parts: List[DataFrame] = []  # for deref flagging
+        # Lean-mode CBD emission: per-wave star joins are NOT appended
+        # to result_parts individually — their (disjoint) frontiers
+        # accumulate here and ONE fused (union-of-frontiers x store)
+        # join emits every CBD quad in the final action (see execute).
+        self._cbd_emit_frontiers: List[DataFrame] = []
 
     # --------------------------------------------------------------- helpers
 
@@ -655,7 +660,23 @@ class _Run:
                 joined = joined.localCheckpoint()
                 if wave == 0:
                     star_parts.append(tproj(joined))
-            self.result_parts.append(joined.select("member_id", *QUAD_COLS))
+                self.result_parts.append(
+                    joined.select("member_id", *QUAD_COLS))
+            else:
+                # Lean mode: don't emit this wave's join as its own lazy
+                # result part (the final action would then re-probe the
+                # persisted store once PER WAVE — k corpus streams).
+                # Record the frontier instead; execute() emits all CBD
+                # quads with ONE fused join over the union of frontiers.
+                # Equivalent because frontiers are globally disjoint on
+                # (member, node) (visited_cbd) and every wave applies
+                # the same row filters.
+                self._cbd_emit_frontiers.append(
+                    frontier.select(
+                        "member_id", "entity", "entity_kind",
+                        "node", "node_kind",
+                    )
+                )
             self.trie_parts.append(words(joined))
             blank_children = (
                 joined.filter(F.col("object_kind") == BLANK)
@@ -1027,33 +1048,93 @@ class _Run:
                 )
             )
 
+        # Wide mode: when the ONLY result parts are the fused CBD join
+        # and the named-graph pickup (pure CBD, or every match path
+        # elided — the common web-corpus regime), the member attribute
+        # columns are attached to the SMALL side (the frontier union /
+        # the pickup's member side) before the store join, so the final
+        # action runs a single full-output shuffle (the dedup) instead
+        # of dedup + a corpus-sized member join. Witness-emitting shapes
+        # and materializing-wave runs keep the legacy narrow layout.
+        wide = bool(self._cbd_emit_frontiers) and not self.result_parts
+        attr_cols = ["entity", "entity_kind", "shape_key", "input_idx"]
+
+        # Lean-mode fused CBD emission: one (union-of-frontiers x store)
+        # join replaces k per-wave lazy joins in the final action — the
+        # persisted store streams ONCE instead of once per wave. The
+        # filters mirror _cbd.star_join exactly; results never need the
+        # trie position, so _new_pos is not recomputed here.
+        if self._cbd_emit_frontiers:
+            fr = self._cbd_emit_frontiers[0]
+            for p in self._cbd_emit_frontiers[1:]:
+                fr = fr.unionByName(p)
+            if wide:
+                # shape_key/input_idx ride the frontier (orders of
+                # magnitude narrower than the output); entity columns
+                # are already there.
+                fr = fr.join(
+                    self.members_df.hint("shuffle_hash").select(
+                        "member_id", "shape_key", "input_idx"
+                    ),
+                    "member_id",
+                )
+            f = fr.hint("shuffle_hash").alias("f")
+            tt0 = self.triples.alias("t")
+            j = f.join(
+                tt0,
+                (F.col("f.node") == F.col("t.subject"))
+                & (F.col("f.node_kind") == F.col("t.subject_kind")),
+                "inner",
+            )
+            if self.ex.cbd_default_graph:
+                j = j.filter(F.col("t.graph").isNull())
+            j = self._graph_filter(
+                j.select(
+                    "f.member_id", "f.entity", "f.entity_kind",
+                    *[f"f.{c}" for c in ("shape_key", "input_idx") if wide],
+                    *[f"t.{c}" for c in QUAD_COLS],
+                    "t.graph_is_member",
+                )
+            ).drop("graph_is_member")
+            proj = (["member_id", *QUAD_COLS, *attr_cols] if wide
+                    else ["member_id", *QUAD_COLS])
+            self.result_parts.append(j.select(*proj))
+
         # Named-graph member pickup (lib/CBDShapeExtractor.ts:317-324) —
         # graph filters do NOT apply here.
         m = self.members_df.hint("shuffle_hash").alias("m")
         tt = self.triples.alias("t")
+        pickup_attrs = [f"m.{c}" for c in attr_cols] if wide else []
         pickup = m.join(
             tt,
             (F.col("m.entity") == F.col("t.graph"))
             & (F.col("m.entity_kind") == F.col("t.graph_kind")),
             "inner",
-        ).select("m.member_id", *[f"t.{c}" for c in QUAD_COLS])
+        ).select("m.member_id", *[f"t.{c}" for c in QUAD_COLS],
+                 *pickup_attrs)
         self.result_parts.append(pickup)
 
         results = self.result_parts[0] if self.result_parts else pickup.limit(0)
         for p in self.result_parts[1:]:
             results = results.unionByName(p)
-        # No broadcast hint: the member set scales with the corpus (at
-        # web scale it's billions of rows — building that on the driver
-        # is the failure mode). AQE sees the true build-side size at
-        # runtime and picks broadcast when members are genuinely small.
-        # shuffle_hash (build = members): without it this falls to a
-        # sort-merge join that SORTS the full output by member_id — at
-        # corpus scale the single most memory-bandwidth-expensive step
-        # of the final action; hashing the member side streams the
-        # output unsorted.
-        results = results.dropDuplicates(["member_id", *QUAD_COLS]).join(
-            self.members_df.hint("shuffle_hash"), "member_id"
-        )
+        if wide:
+            # Attribute columns are functions of member_id (a dedup
+            # key), so any surviving row carries the right values — no
+            # post-dedup join needed.
+            results = results.dropDuplicates(["member_id", *QUAD_COLS])
+        else:
+            # No broadcast hint: the member set scales with the corpus
+            # (at web scale it's billions of rows — building that on the
+            # driver is the failure mode). AQE sees the true build-side
+            # size at runtime and picks broadcast when members are
+            # genuinely small. shuffle_hash (build = members): without
+            # it this falls to a sort-merge join that SORTS the full
+            # output by member_id — at corpus scale the single most
+            # memory-bandwidth-expensive step of the final action;
+            # hashing the member side streams the output unsorted.
+            results = results.dropDuplicates(["member_id", *QUAD_COLS]).join(
+                self.members_df.hint("shuffle_hash"), "member_id"
+            )
         # Returned LAZY: eagerly checkpointing here materialized the
         # full output once to storage and again at the caller's action —
         # a second corpus-sized pass for nothing when the caller only
