@@ -152,7 +152,10 @@ def _q_kbo_bulk_extract(spark, sf_dir):
     reference's perf scenario (perf/perftest-inband.js) generalized."""
     triples, members = kbo_members(spark, sf_dir)
     shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
-    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    # store_distinct: kbo_members synthesizes a duplicate-free store, so
+    # the engine's final dedup narrows to the (empty) named-graph slice
+    # and the output path runs shuffle-free (see extractor ctor doc).
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes, store_distinct=True)
     results, _ = ex.extract(triples, members, shape=Term(IRI, KBO_SHAPE_IRI))
     return results.select("entity", "subject", "predicate", "object_value")
 
@@ -418,6 +421,31 @@ def _q_fingerprint(spark, sf_dir):
     )
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (md5 of doc_id) —
+    map-side only; result = per-(split, lang) doc counts."""
+    from extract_cbd_shape_spark.operators.sampling import split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id", _SPLIT_WEIGHTS)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Exactly 5 docs per language, chosen by md5(doc_id) order —
+    reproducible across partitionings and cluster sizes."""
+    from extract_cbd_shape_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, ["lang"], 5, "doc_id").select("doc_id", "lang")
+
+
 def _q_entity_link(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = (
@@ -638,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
         "doc_fingerprint": _q_fingerprint,
+        "train_split": _q_train_split,
+        "stratified_sample": _q_stratified_sample,
         "entity_link": _q_entity_link,
         "connected_components": _q_connected_components,
         "cosine_topk": _q_cosine_topk,
@@ -858,6 +888,18 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rank <= 5
 """
+
+
+def _split_case_sql() -> str:
+    """SQL CASE mirroring split_assign's boundaries exactly (both sides
+    compute bounds with operators.sampling.split_bounds)."""
+    from extract_cbd_shape_spark.operators.sampling import split_bounds
+
+    bounds = split_bounds(_SPLIT_WEIGHTS)
+    whens = " ".join(
+        f"WHEN b < {bound} THEN '{name}'" for name, bound in bounds[:-1]
+    )
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1085,6 +1127,20 @@ WITH b AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 sh AS (SELECT doc_id, {_SH5} AS s FROM b)
 SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fingerprint
 FROM sh WHERE len(s) > 0
+""",
+        "train_split": f"""
+WITH b AS (SELECT lang,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS b
+    FROM documents)
+SELECT {_split_case_sql()} AS split, lang, count(*) AS n_docs
+FROM b GROUP BY 1, 2
+""",
+        "stratified_sample": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, row_number() OVER (
+      PARTITION BY lang
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) WHERE rk <= 5
 """,
         "entity_link": f"""
 WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS mention

@@ -34,7 +34,18 @@ def build_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("extract-cbd-shape-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        # Shuffle partitions are sized to the DATA, not the core count:
+        # a wide hash aggregate (the engine's final dedup) holds one
+        # partition's rows per running task, so partitions must be
+        # small enough that #cores concurrent hash maps fit in memory.
+        # With max(cpus, 8) the bench corpus left ~4M wide rows per
+        # partition and the 8-core dedup ran SLOWER than 2-core (every
+        # map resident at once). AQE coalesces the small stages back
+        # down, so the only cost of more partitions is scheduler
+        # overhead. Same count at every parallelism level keeps the
+        # N-vs-4N scaling comparison apples-to-apples.
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(4 * cpus, 64))))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -45,7 +56,20 @@ def build_spark(cpus: int):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY", "1m"),
         )
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Heap scales WITH core count (12g/core, floor 24g, capped for
+        # the host): on a real cluster going N -> 4N executors brings 4x
+        # executor memory, but local-mode cores share ONE fixed heap —
+        # at a fixed 48g the 8-core run spent more time in GC than the
+        # 2-core run and the engine's final action anti-scaled (35s vs
+        # 16s measured); per-core sizing restores the cluster's
+        # memory-per-task contract that the scaling rule presumes.
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM",
+                f"{min(96, max(24, 12 * cpus))}g",
+            ),
+        )
         # Arrow batches cross the Python worker boundary per-batch; the
         # 10k default costs ~20% of the extraction flagship in batch
         # framing alone. 500k rows ~ 40MB/batch — still far under

@@ -172,6 +172,7 @@ class BulkCBDShapeExtractor:
         max_rounds: int = 32,
         max_deref_rounds: int = 8,
         materialize_waves: bool = False,
+        store_distinct: bool = False,
     ):
         """``materialize_waves`` picks the CBD wave-loop physical
         strategy — a genuine cost tradeoff, like exchange reuse vs
@@ -192,6 +193,22 @@ class BulkCBDShapeExtractor:
           downstream action is much wider than the bookkeeping slice
           (e.g. several separate actions re-consume the waves) or
           executor-local NVMe makes output-sized writes cheap.
+
+        ``store_distinct`` is a caller contract: the triples input has
+        no duplicate rows (true for snapshots this package writes —
+        materialize_table output is deduplicated — and for any store
+        ingested through a distinct). Under that contract the engine's
+        pure-CBD output is duplicate-free by construction for
+        default-graph quads (CBD frontiers are globally disjoint on
+        (member, node), so each store row joins each member at most
+        once), and the final uniqueQuads dedup (lib/Utils.ts:44-64)
+        narrows to the named-graph slice where CBD emission can
+        genuinely overlap the named-graph member pickup. For a
+        default-graph web corpus that makes the whole extraction's
+        output path SHUFFLE-FREE past the frontier joins — the
+        100 TB regime this engine exists for. Leave False when the
+        store may repeat quads; results then match the reference's
+        per-extraction dedup exactly regardless of input duplication.
         """
         self.spark = spark
         self.shapes_graph = shapes_graph
@@ -200,6 +217,7 @@ class BulkCBDShapeExtractor:
         self.max_rounds = max_rounds
         self.max_deref_rounds = max_deref_rounds
         self.materialize_waves = materialize_waves
+        self.store_distinct = store_distinct
         # persisted store copies / trie caches created by runs of this
         # extractor, released by release()
         self._persisted: List[DataFrame] = []
@@ -1117,7 +1135,20 @@ class _Run:
         results = self.result_parts[0] if self.result_parts else pickup.limit(0)
         for p in self.result_parts[1:]:
             results = results.unionByName(p)
-        if wide:
+        if wide and self.ex.store_distinct:
+            # store_distinct contract (ctor doc): default-graph rows of
+            # the fused CBD join are already unique per (member, quad)
+            # — disjoint frontiers x duplicate-free store — and the
+            # pickup only ever matches NAMED graphs, so the dedup
+            # narrows to the graph IS NOT NULL slice. The dominant
+            # (default-graph) slice streams straight to the caller:
+            # no full-output shuffle at all.
+            nullg = results.filter(F.col("graph").isNull())
+            named = results.filter(F.col("graph").isNotNull())
+            results = nullg.unionByName(
+                named.dropDuplicates(["member_id", *QUAD_COLS])
+            )
+        elif wide:
             # Attribute columns are functions of member_id (a dedup
             # key), so any surviving row carries the right values — no
             # post-dedup join needed.

@@ -119,3 +119,39 @@ def test_bulk_two_members(spark, data03):
     counts = {r.entity: r["count"] for r in results.groupBy("entity").count().collect()}
     assert counts[EX + "A"] == 4
     assert counts[EX + "B"] == 8
+
+
+def _full_rows(results):
+    return sorted(
+        (
+            r.entity, r.subject, r.subject_kind, r.predicate,
+            r.object_value, r.object_kind, r.object_lang,
+            r.object_datatype, r.graph, r.graph_kind,
+        )
+        for r in results.collect()
+    )
+
+
+@pytest.mark.parametrize("entity", ["A", "B", "C", "Activity1"])
+def test_store_distinct_parity(spark, data03, entity):
+    """store_distinct=True must match the default exactly on a
+    duplicate-free store — including members whose named-graph pickup
+    overlaps their CBD star (B: 8 quads, pickup ∩ star non-empty),
+    which is the slice the contract still dedups."""
+    base, _ = BulkCBDShapeExtractor(spark).extract(
+        data03, [Term(IRI, EX + entity)]
+    )
+    fast, _ = BulkCBDShapeExtractor(spark, store_distinct=True).extract(
+        data03, [Term(IRI, EX + entity)]
+    )
+    assert _full_rows(fast) == _full_rows(base)
+
+
+def test_store_distinct_default_dedups_duplicated_store(spark, data03):
+    """Default (store_distinct=False) keeps reference uniqueQuads
+    semantics even when the input store repeats rows."""
+    dup = data03.unionByName(data03)
+    results, _ = BulkCBDShapeExtractor(spark).extract(
+        dup, [Term(IRI, EX + "A")]
+    )
+    assert results.count() == 4

@@ -23,6 +23,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 CPUS = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 REP = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 BULK = os.environ.get("PROFILE_BULK", "0") == "1"  # match bench_scaling's bulk=True
+DISTINCT = os.environ.get("PROFILE_DISTINCT", "0") == "1"  # store_distinct contract
+MATERIALIZE_INPUT = os.environ.get("PROFILE_MAT_INPUT", "0") == "1"
 
 try:  # PySpark 4: concrete methods live on the classic subclass
     import pyspark.sql.classic.dataframe as dfm
@@ -80,12 +82,25 @@ shape = Term(IRI, KBO_SHAPE_IRI)
 
 # warm
 wt, wm = kbo_members(spark, "/root/testdata/sf0.001")
-ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes, store_distinct=DISTINCT)
 ex.extract(wt, wm, shape=shape, bulk=BULK)[0].count()
 TIMES.clear()
 COUNTS.clear()
 
 triples, members = kbo_members(spark, SF_DIR, replicate=REP) if REP > 1 else kbo_members(spark, SF_DIR)
+if MATERIALIZE_INPUT:
+    # bench_scaling reads its input from materialized parquet (tmpfs);
+    # mirror that so profiles decompose the same job.
+    import tempfile
+
+    _work = tempfile.mkdtemp(
+        prefix="prof_", dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+    triples.write.mode("overwrite").parquet(_work + "/t")
+    members.write.mode("overwrite").parquet(_work + "/m")
+    triples = spark.read.parquet(_work + "/t")
+    members = spark.read.parquet(_work + "/m")
+    TIMES.clear()
+    COUNTS.clear()
 t0 = time.time()
 n = ex.extract(triples, members, shape=shape, bulk=BULK)[0].count()
 total = time.time() - t0
