@@ -212,6 +212,13 @@ def run_suite(spark, sf_dir: str) -> dict:
 
 def main():
     t_all = time.time()
+    # The headline session hosts BOTH JVM-heavy queries and Arrow-kernel
+    # queries in one JVM: keep the JVM pinned small so per-core memory
+    # stays available to the Python workers (the executor-memory vs
+    # pyspark-memory split — see tools/bench_scaling.py KERNEL_JOBS).
+    # The per-core formula in build_spark serves the scaling harness,
+    # where each (job, level) gets its own JVM.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     out = run_suite(spark, SF_DIR)

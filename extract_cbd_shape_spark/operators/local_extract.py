@@ -544,7 +544,9 @@ def _vec_extract_bucket(
     sk = tq["subject_kind"].to_numpy(dtype=np.int64)
     okd = tq["object_kind"].to_numpy(dtype=np.int64)
     if "graph_kind" in tq:
-        gk = tq["graph_kind"].fillna(0).to_numpy(dtype=np.int64)
+        gk = np.nan_to_num(
+            tq["graph_kind"].to_numpy(dtype="float64"), nan=0.0
+        ).astype(np.int64)
     else:
         gk = np.zeros(n, dtype=np.int64)
     mk = mdf["_m_kind"].to_numpy(dtype=np.int64)
