@@ -27,6 +27,7 @@ from extract_cbd_shape_spark.operators.closure import (
     connected_components,
     transitive_closure,
 )
+from extract_cbd_shape_spark.operators.decontaminate import benchmark_overlap
 from extract_cbd_shape_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_dups,
@@ -446,6 +447,19 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(d, ["lang"], 5, "doc_id").select("doc_id", "lang")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every doc_id % 50 == 0 document is the
+    'held-out eval set'; the pool is the planted corpus minus those ids
+    (so their exact copies at +1M and 80%-prefix mutants at +2M remain
+    and MUST be flagged). Returns (doc_id, n_hits) of contaminated
+    pool docs — one shared 8-token gram flags."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    pool = _corpus(spark, sf_dir).join(
+        bench.select("doc_id"), "doc_id", "left_anti")
+    return benchmark_overlap(pool, bench, k=8).orderBy("doc_id")
+
+
 def _q_entity_link(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = (
@@ -668,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "train_split": _q_train_split,
         "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
         "entity_link": _q_entity_link,
         "connected_components": _q_connected_components,
         "cosine_topk": _q_cosine_topk,
@@ -757,6 +772,10 @@ _SH3 =("CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t)-1), "
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END")
 _SH5 = ("CASE WHEN len(t) >= 5 THEN list_transform(range(1, len(t)-3), "
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) "
+        "ELSE [] END")
+_SH8 = ("CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t)-6), "
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' "
+        "|| t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) "
         "ELSE [] END")
 
 def _minhash_perm_values() -> str:
@@ -1127,6 +1146,19 @@ WITH b AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 sh AS (SELECT doc_id, {_SH5} AS s FROM b)
 SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fingerprint
 FROM sh WHERE len(s) > 0
+""",
+        "decontaminate": f"""
+WITH {_CORPUS_CTE.strip()},
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+pool AS (SELECT * FROM corpus
+         WHERE doc_id NOT IN (SELECT doc_id FROM bench)),
+bt AS (SELECT {_TOKS_SQL} AS t FROM bench),
+bg AS (SELECT DISTINCT unnest({_SH8}) AS s FROM bt),
+pt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM pool),
+pg AS (SELECT DISTINCT doc_id, unnest({_SH8}) AS s FROM pt)
+SELECT pg.doc_id, count(*) AS n_hits
+FROM pg JOIN bg ON pg.s = bg.s
+GROUP BY pg.doc_id ORDER BY pg.doc_id
 """,
         "train_split": f"""
 WITH b AS (SELECT lang,
