@@ -43,6 +43,18 @@ from extract_cbd_shape_spark.operators.kgtriples import (
     with_store_key,
 )
 from extract_cbd_shape_spark.operators.linking import link_mentions
+from extract_cbd_shape_spark.operators.packing import (
+    pack_offsets,
+    pack_sequences,
+)
+from extract_cbd_shape_spark.operators.pii import (
+    PII_PATTERNS,
+    redact_documents,
+)
+from extract_cbd_shape_spark.operators.repetition import (
+    line_stats,
+    top_bigram_stats,
+)
 from extract_cbd_shape_spark.operators.similarity import (
     cosine_near_dups,
     cosine_topk,
@@ -460,6 +472,63 @@ def _q_decontaminate(spark, sf_dir):
     return benchmark_overlap(pool, bench, k=8).orderBy("doc_id")
 
 
+def _pii_corpus(spark, sf_dir):
+    """documents with deterministic PII appended (mirrored in SQL):
+    mod-4 on doc_id picks an email / phone / IPv4 / all-three suffix."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    email = F.concat(F.lit(" user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com"))
+    phone = F.concat(
+        F.lit(" +1 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    ip = F.concat(F.lit(" 10.0."), (F.col("doc_id") % 256).cast("string"),
+                  F.lit(".7"))
+    m = F.col("doc_id") % 4
+    extra = (
+        F.when(m == 0, email).when(m == 1, phone).when(m == 2, ip)
+        .otherwise(F.concat(email, phone, ip))
+    )
+    return d.select("doc_id", F.concat(F.col("text"), extra).alias("text"))
+
+
+def _q_pii_redact(spark, sf_dir):
+    """PII counts + md5 of the redacted text (map-side only)."""
+    out = redact_documents(_pii_corpus(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+def _lines_corpus(spark, sf_dir):
+    """documents re-laid-out as 3 lines (first/variable/first 30-char
+    slices) so the duplicate-line metric has signal; mirrored in SQL."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring(F.col("text"), 1, 30),
+            F.expr("substring(text, 1 + (doc_id % 5) * 6, 30)"),
+            F.substring(F.col("text"), 1, 30),
+        ).alias("text"),
+    )
+
+
+def _q_dup_lines(spark, sf_dir):
+    return line_stats(_lines_corpus(spark, sf_dir))
+
+
+def _q_top_bigram(spark, sf_dir):
+    return top_bigram_stats(_t(spark, sf_dir, "documents"))
+
+
+def _q_pack_sequences(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    wt = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return pack_sequences(pack_offsets(wt, n_buckets=32), seq_len=512)
+
+
 def _q_entity_link(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = (
@@ -683,6 +752,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split": _q_train_split,
         "stratified_sample": _q_stratified_sample,
         "decontaminate": _q_decontaminate,
+        "pii_redact": _q_pii_redact,
+        "dup_lines": _q_dup_lines,
+        "top_bigram": _q_top_bigram,
+        "pack_sequences": _q_pack_sequences,
         "entity_link": _q_entity_link,
         "connected_components": _q_connected_components,
         "cosine_topk": _q_cosine_topk,
@@ -777,6 +850,38 @@ _SH8 = ("CASE WHEN len(t) >= 8 THEN list_transform(range(1, len(t)-6), "
         "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' "
         "|| t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) "
         "ELSE [] END")
+_SH2 = ("CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i+1]) ELSE [] END")
+
+# PII corpus: same mod-4 suffix injection as _pii_corpus().
+_PII_CORPUS_CTE = """
+c AS (SELECT doc_id, text || CASE
+    WHEN doc_id % 4 = 0 THEN ' user' || doc_id || '@example.com'
+    WHEN doc_id % 4 = 1
+        THEN ' +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    WHEN doc_id % 4 = 2 THEN ' 10.0.' || (doc_id % 256) || '.7'
+    ELSE ' user' || doc_id || '@example.com'
+         || ' +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' 10.0.' || (doc_id % 256) || '.7'
+    END AS text FROM documents)
+"""
+
+
+def _pii_oracle_sql() -> str:
+    """Counts + redacted-text md5 from the shared PII_PATTERNS (the
+    patterns live in one place so the mirror can't drift)."""
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    redacted = "text"
+    for _, pat, tok in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{tok}', 'g')"
+    return (
+        f"WITH {_PII_CORPUS_CTE.strip()}\n"
+        f"SELECT doc_id,\n       {counts},\n"
+        f"       md5({redacted}) AS clean_md5\nFROM c"
+    )
 
 def _minhash_perm_values() -> str:
     from extract_cbd_shape_spark.operators.dedup import minhash_perm_coeffs
@@ -1159,6 +1264,41 @@ pg AS (SELECT DISTINCT doc_id, unnest({_SH8}) AS s FROM pt)
 SELECT pg.doc_id, count(*) AS n_hits
 FROM pg JOIN bg ON pg.s = bg.s
 GROUP BY pg.doc_id ORDER BY pg.doc_id
+""",
+        "pii_redact": _pii_oracle_sql(),
+        "dup_lines": """
+WITH c AS (SELECT doc_id, concat_ws(chr(10), substr(text, 1, 30),
+               substr(text, 1 + (doc_id % 5) * 6, 30),
+               substr(text, 1, 30)) AS text
+           FROM documents),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM c)
+SELECT doc_id, len(ls) AS n_lines,
+       round(1.0 - len(list_distinct(ls)) * 1.0 / greatest(len(ls), 1), 4)
+           AS dup_line_frac
+FROM l
+""",
+        "top_bigram": f"""
+WITH b AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+g AS (SELECT doc_id, unnest({_SH2}) AS s FROM b),
+cnt AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY doc_id, s)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+FROM cnt GROUP BY doc_id
+""",
+        "pack_sequences": f"""
+WITH w AS (SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents),
+o AS (SELECT doc_id, n,
+        CAST(SUM(n) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS tok_end
+      FROM w)
+SELECT doc_id, n AS weight, tok_end - n AS tok_start, tok_end,
+       CASE WHEN n > 0 THEN (tok_end - n) // 512 END AS first_seq,
+       CASE WHEN n > 0 THEN (tok_end - 1) // 512 END AS last_seq,
+       CASE WHEN n > 0
+            THEN (tok_end - 1) // 512 - (tok_end - n) // 512 + 1
+            ELSE 0 END AS n_seqs
+FROM o
 """,
         "train_split": f"""
 WITH b AS (SELECT lang,
