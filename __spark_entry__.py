@@ -190,6 +190,23 @@ def _q_kbo_bulk_extract_local(spark, sf_dir):
     )
 
 
+def _q_kbo_bulk_extract_inverse(spark, sf_dir):
+    """kbo_bulk_extract with an INVERSE match path (reference's
+    CBDAndShaclExtended regime, perf/resources/shacl-kbo.ttl:163-166):
+    each member gains 2 incoming kbo:memberOf edges reachable only
+    through ^kbo:memberOf. The global engine serves the inverse hop
+    from its object-keyed store copy (built once, reused per wave —
+    test_inverse_join_uses_object_keyed_copy pins the plan)."""
+    from extract_cbd_shape_spark.operators.kgtriples import KBO_SHAPE_INV_TTL
+
+    triples, members = kbo_members(spark, sf_dir, inverse_edges=2)
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_INV_TTL))
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes,
+                               store_distinct=True)
+    results, _ = ex.extract(triples, members, shape=Term(IRI, KBO_SHAPE_IRI))
+    return results.select("entity", "subject", "predicate", "object_value")
+
+
 def _q_kbo_bulk_extract_local_ext(spark, sf_dir):
     """kbo_bulk_extract_local with the EXTENDED shape (2-hop sequence
     path + forward alternative — the reference's escalated perf regime,
@@ -734,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kbo_bulk_extract": _q_kbo_bulk_extract,
         "kbo_bulk_extract_local": _q_kbo_bulk_extract_local,
         "kbo_bulk_extract_local_ext": _q_kbo_bulk_extract_local_ext,
+        "kbo_bulk_extract_inverse": _q_kbo_bulk_extract_inverse,
         "kbo_bulk_extract_store": _q_kbo_bulk_extract_store,
         "path_closure": _q_path_closure,
         "q1_pricing": _q_q1_pricing,
@@ -1072,6 +1090,32 @@ SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
   UNION ALL SELECT k, 'm:'||k, 'kbo:status', 'kbo:Status_AC' FROM m
   UNION ALL SELECT k, 'a:'||k, 'kbo:fullAddress', 'Street '||k FROM m
   UNION ALL SELECT k, 'a:'||k, 'kbo:postCode', (k % 9999)::VARCHAR FROM m
+)
+""",
+        # inverse shape: base quad set plus the member's two incoming
+        # kbo:memberOf edges (the ^kbo:memberOf match witnesses)
+        "kbo_bulk_extract_inverse": """
+WITH m AS (SELECT o_orderkey AS k FROM orders)
+SELECT 'm:'||k AS entity, subject, predicate, object_value FROM (
+  SELECT k, 'm:'||k AS subject, 'rdf:type' AS predicate,
+         'kbo:legalEntity' AS object_value FROM m
+  UNION ALL SELECT k, 'm:'||k, 'rdf:type', 'kbo:Enterprise' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:isVersionOf', 'v:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyStatus',
+            'kbo:JuridicalSituation_000' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:companyType',
+            'kbo:JuridicalForm_014' FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:legalName', 'Company '||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:registeredAddress', 'a:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||(k % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 7) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:activity', 'act:'||((k + 13) % 50) FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:establishment', 'e:'||k FROM m
+  UNION ALL SELECT k, 'm:'||k, 'kbo:status', 'kbo:Status_AC' FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:fullAddress', 'Street '||k FROM m
+  UNION ALL SELECT k, 'a:'||k, 'kbo:postCode', (k % 9999)::VARCHAR FROM m
+  UNION ALL SELECT k, 'p:'||k||':0', 'kbo:memberOf', 'm:'||k FROM m
+  UNION ALL SELECT k, 'p:'||k||':1', 'kbo:memberOf', 'm:'||k FROM m
 )
 """,
         # extended shape (sequence + alternative): the chain witnesses

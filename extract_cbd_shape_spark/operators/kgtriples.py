@@ -148,6 +148,17 @@ ex:AddressShape a sh:NodeShape ;""",
 
 KBO_SHAPE_EXT_IRI = "http://example.org/bench/LegalEntityShapeExt"
 
+# Inverse variant (reference perf/resources/shacl-kbo.ttl:163-166
+# CBDAndShaclExtended regime): the base shape plus an inverse match
+# path — witnesses are the member's INCOMING kbo:memberOf edges, which
+# CBD never reaches. The global engine serves these hops from its
+# object-keyed store copy (one clustering, reused every wave).
+KBO_SHAPE_INV_TTL = KBO_SHAPE_TTL.replace(
+    "ex:LegalEntityShape a sh:NodeShape ;",
+    """ex:LegalEntityShape a sh:NodeShape ;
+  sh:property [ sh:path [ sh:inversePath <kbo:memberOf> ] ] ;""",
+)
+
 
 def with_store_key(triples: DataFrame, members: DataFrame):
     """KBO corpus store key — the numeric segment of the ``m:NNN`` /
@@ -161,10 +172,14 @@ def with_store_key(triples: DataFrame, members: DataFrame):
 
 
 def kbo_members(spark: SparkSession, sf_dir: str,
-                named_graphs: bool = False, replicate: int = 1):
+                named_graphs: bool = False, replicate: int = 1,
+                inverse_edges: int = 0):
     """(triples_df, members_df): one ~13-quad member per orders row.
     ``replicate`` unions K disjoint copies (orderkey offset by 10M per
-    copy) — used by the scaling bench to size the corpus."""
+    copy) — used by the scaling bench to size the corpus.
+    ``inverse_edges`` adds that many incoming ``kbo:memberOf`` quads
+    per member (subjects ``p:<k>:<j>``) — reachable only through an
+    inverse path, never through CBD."""
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select("o_orderkey")
@@ -228,6 +243,11 @@ def kbo_members(spark: SparkSession, sf_dir: str,
         (addr, BLANK, "kbo:postCode",
          (F.col("o_orderkey") % 9999).cast("string"), LITERAL, XSD_STRING),
     ]
+    for j in range(inverse_edges):
+        quad_defs.append((
+            F.concat(F.lit("p:"), F.col("o_orderkey"), F.lit(f":{j}")),
+            IRI, "kbo:memberOf", m, IRI, None,
+        ))
     structs = [
         F.struct(
             sub.alias("subject"),
