@@ -207,6 +207,25 @@ def _q_kbo_bulk_extract_inverse(spark, sf_dir):
     return results.select("entity", "subject", "predicate", "object_value")
 
 
+def _q_kbo_bulk_extract_local_inv(spark, sf_dir):
+    """kbo_bulk_extract_inverse through the store-local engine: the
+    vectorized CSR kernel serves the ^kbo:memberOf hop from its
+    object-sorted second CSR (in-bucket analogue of the reference's
+    POSG ordering, lib/Utils.ts:10-23) — no per-member Python, no
+    interpreter fallback (r3 kernel extension). Same oracle as the
+    global-engine inverse query."""
+    from extract_cbd_shape_spark.operators.kgtriples import KBO_SHAPE_INV_TTL
+    from extract_cbd_shape_spark.operators.local_extract import local_bulk_extract
+
+    triples, members = kbo_members(spark, sf_dir, inverse_edges=2)
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_INV_TTL))
+    t2, m2 = with_store_key(triples, members)
+    return local_bulk_extract(
+        t2, m2, shapes_graph=shapes, shape=Term(IRI, KBO_SHAPE_IRI),
+        columns=["entity", "subject", "predicate", "object_value"],
+    )
+
+
 def _q_kbo_bulk_extract_local_ext(spark, sf_dir):
     """kbo_bulk_extract_local with the EXTENDED shape (2-hop sequence
     path + forward alternative — the reference's escalated perf regime,
@@ -752,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kbo_bulk_extract_local": _q_kbo_bulk_extract_local,
         "kbo_bulk_extract_local_ext": _q_kbo_bulk_extract_local_ext,
         "kbo_bulk_extract_inverse": _q_kbo_bulk_extract_inverse,
+        "kbo_bulk_extract_local_inv": _q_kbo_bulk_extract_local_inv,
         "kbo_bulk_extract_store": _q_kbo_bulk_extract_store,
         "path_closure": _q_path_closure,
         "q1_pricing": _q_q1_pricing,
@@ -1045,7 +1065,7 @@ def _split_case_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "cbd_blank_closure": _CBD_ORACLE,
         "shape_extract_order": _SHAPE_ORACLE,
         "kbo_bulk_extract": """
@@ -1574,3 +1594,7 @@ SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
 FROM documents
 """,
     }
+    # store-local inverse extraction: identical expected quad set as the
+    # global-engine inverse query (same corpus, same shape)
+    out["kbo_bulk_extract_local_inv"] = out["kbo_bulk_extract_inverse"]
+    return out

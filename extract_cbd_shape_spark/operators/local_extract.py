@@ -349,29 +349,39 @@ def extract_store(quads: List[tuple], members: Sequence[Tuple[int, str]],
 #   (lib/CBDShapeExtractor.ts:419-428) yields identical target sets;
 # * CBD + blank closure is an iterative merge with a visited anti-join.
 #
-# Shapes outside this class (closed shapes, inverse paths, sequences,
-# alternatives, multipaths) keep the exact per-member interpreter: their
-# found() gating can be triggered by trie-word *reduction* (an inverse
-# hop popping the arrival step) or by sibling nodes sharing a trie
-# position, where unconditional matching would diverge from the
-# reference's skip semantics.
+# r3 extensions widen the class to (a) forward sequence/alternative
+# chains (chained CSR gathers), (b) INVERSE hops anywhere in a chain —
+# served by a second CSR sorted on object codes, the in-bucket analogue
+# of the reference's POSG index ordering (lib/Utils.ts:10-23) — and
+# (c) CLOSED shapes, which skip CBD and never found()-gate
+# (lib/CBDShapeExtractor.ts:389-391,408), so unconditional per-wave
+# matching is EXACT reference semantics for them. Only multipaths
+# (zeroOrMore / oneOrMore / zeroOrOne) keep the per-member interpreter:
+# their per-root visited/admit bookkeeping is genuinely per-member
+# state.
 
 
 _MAX_CHAINS = 32  # per-path branch-explosion cap for the flattener
 
 
-def _flatten_forward(path: Path) -> Optional[List[Tuple[str, ...]]]:
-    """Flatten a forward-only Sequence/Alternative/Predicate path into
-    predicate chains: ``a`` -> [(a,)]; ``a/b`` -> [(a, b)];
-    ``(a|b)/c`` -> [(a, c), (b, c)]. Returns None for anything the
-    vectorized kernel can't run (inverse, multipath) or when the branch
-    product exceeds ``_MAX_CHAINS``."""
+def _flatten_chain(path: Path, inv: bool = False
+                   ) -> Optional[List[Tuple[Tuple[str, bool], ...]]]:
+    """Flatten a Sequence/Alternative/Predicate/Inverse path into hop
+    chains of ``(predicate, inverse)``: ``a`` -> [((a,F),)]; ``a/b`` ->
+    [((a,F),(b,F))]; ``(a|b)/c`` -> two chains; ``^a`` -> [((a,T),)].
+    Inverse distributes exactly as the interpreter's ``match`` does
+    (lib/Path.ts:195-209 flips the flag; SequencePath folds its steps
+    in ORIGINAL order with the flag passed down, lib/Path.ts:104-138),
+    so double inverse cancels. Returns None for multipaths or when the
+    branch product exceeds ``_MAX_CHAINS``."""
     if isinstance(path, PredicatePath):
-        return [(path.predicate,)]
+        return [((path.predicate, inv),)]
+    if isinstance(path, InversePath):
+        return _flatten_chain(path.path, not inv)
     if isinstance(path, SequencePath):
-        chains: List[Tuple[str, ...]] = [()]
+        chains: List[Tuple[Tuple[str, bool], ...]] = [()]
         for step in path.sequence:
-            sub = _flatten_forward(step)
+            sub = _flatten_chain(step, inv)
             if sub is None:
                 return None
             chains = [c + s for c in chains for s in sub]
@@ -379,16 +389,16 @@ def _flatten_forward(path: Path) -> Optional[List[Tuple[str, ...]]]:
                 return None
         return chains
     if isinstance(path, AlternativePath):
-        out: List[Tuple[str, ...]] = []
+        out: List[Tuple[Tuple[str, bool], ...]] = []
         for branch in path.alternatives:
-            sub = _flatten_forward(branch)
+            sub = _flatten_chain(branch, inv)
             if sub is None:
                 return None
             out.extend(sub)
             if len(out) > _MAX_CHAINS:
                 return None
         return out
-    return None  # InversePath / MultiPath: trie-reduction semantics
+    return None  # MultiPath: per-root visited/admit state
 
 
 def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
@@ -396,38 +406,51 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
                              cbd_default_graph: bool = False):
     """Driver-side vectorizability gate.
 
-    Returns ``(links, multi_match, multi_link, root_key)`` when every
-    shape reachable from ``shape`` through nodeLinks is non-closed and
-    uses only FORWARD paths (predicates, sequences, alternatives);
-    ``None`` otherwise. ``links`` rows are ``(shape_key, predicate,
-    child_shape_key, link_order)`` — the single-hop recursion structure;
-    ``multi_match`` rows are ``(shape_key, chain)`` for multi-hop match
-    paths (the kernel emits their witness quads at every hop — hops
-    beyond the first are NOT in the focus star, lib/Path.ts:104-138
-    concatenates all stage witnesses); ``multi_link`` rows are
-    ``(shape_key, chain, child_shape_key, link_order)`` for multi-hop
+    Returns ``(links, multi_match, multi_link, root_key, closed_keys)``
+    when every shape reachable from ``shape`` through nodeLinks uses
+    only chain paths (predicates, sequences, alternatives, inverses —
+    no multipaths); ``None`` otherwise. ``links`` rows are
+    ``(shape_key, predicate, child_shape_key, link_order)`` — the
+    single-hop FORWARD recursion structure; ``multi_match`` rows are
+    ``(shape_key, chain)`` for match-path chains the kernel must emit
+    witnesses for — chains with >1 hop (hops beyond the first are NOT
+    in the focus star, lib/Path.ts:104-138 concatenates all stage
+    witnesses), chains containing an INVERSE hop (an incoming quad is
+    never in the focus star), and every chain of a CLOSED shape (no CBD
+    star covers any of it); ``multi_link`` rows are ``(shape_key,
+    chain, child_shape_key, link_order)`` for non-single-hop-forward
     nodeLink patterns (targets only, no witnesses —
-    lib/CBDShapeExtractor.ts:421-428).
+    lib/CBDShapeExtractor.ts:421-428); ``closed_keys`` is the set of
+    closed shape keys (no CBD at their focus nodes,
+    lib/CBDShapeExtractor.ts:389-391). Chain hops are ``(predicate,
+    inverse)`` pairs; inverse hops read the kernel's object-sorted CSR
+    (the reference's POSG ordering, lib/Utils.ts:10-23).
 
     Match-path gating follows the bulk-engine contract (matched
     unconditionally per wave — the same per-round gate the global
     engine applies; the interpreter's DFS-order found() skips diverge
-    only when several focus nodes share one trie position).
+    only when several focus nodes share one trie position). Closed
+    shapes never gate (lib/CBDShapeExtractor.ts:408), so for them
+    unconditional matching is EXACT interpreter/reference semantics.
 
-    ``cbd_default_graph`` + match paths is rejected: the kernel emits
-    single-hop witnesses only through its (default-graph-restricted)
-    CBD, but the reference restricts ONLY CBD — path-match witnesses in
-    named graphs must still be collected (lib/CBDShapeExtractor.ts:479
-    narrows the star lookup, not Path.match). The interpreter's
-    order-dependent found() gating of those witnesses can't be
-    reproduced by unconditional bulk emission, so this combination
-    stays on the per-member interpreter (ADVICE r2, high).
+    ``cbd_default_graph`` + match paths on a NON-closed shape is
+    rejected: the kernel emits single-hop forward witnesses only
+    through its (default-graph-restricted) CBD, but the reference
+    restricts ONLY CBD — path-match witnesses in named graphs must
+    still be collected (lib/CBDShapeExtractor.ts:479 narrows the star
+    lookup, not Path.match). The interpreter's order-dependent found()
+    gating of those witnesses can't be reproduced by unconditional bulk
+    emission, so this combination stays on the per-member interpreter
+    (ADVICE r2, high). Closed shapes are unaffected: they run no CBD
+    and never gate, so their match emission is exact under any
+    ``cbd_default_graph``.
     """
     if shape is None or shapes_graph is None:
-        return [], [], [], None
+        return [], [], [], None, frozenset()
     links: List[tuple] = []
     multi_match: List[tuple] = []
     multi_link: List[tuple] = []
+    closed_keys: Set[str] = set()
     seen: Set[str] = set()
     stack = [shape]
     while stack:
@@ -440,28 +463,43 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
         if tpl is None:
             continue  # unresolved link -> plain CBD at the target
         if tpl.closed:
-            return None
+            closed_keys.add(key)
         for p in tpl.match_paths():
-            chains = _flatten_forward(p)
+            chains = _flatten_chain(p)
             if chains is None:
                 return None
-            if cbd_default_graph:
+            if cbd_default_graph and not tpl.closed:
                 return None
             for ch in chains:
-                if len(ch) > 1:
+                if len(ch) > 1 or ch[0][1] or tpl.closed:
                     multi_match.append((key, ch))
         for order, nl in enumerate(tpl.all_node_links()):
-            chains = _flatten_forward(nl.path_pattern)
+            chains = _flatten_chain(nl.path_pattern)
             if chains is None:
                 return None
             child = f"{nl.link.kind}:{nl.link.value}"
             for ch in chains:
-                if len(ch) == 1:
-                    links.append((key, ch[0], child, order))
+                if len(ch) == 1 and not ch[0][1]:
+                    links.append((key, ch[0][0], child, order))
                 else:
                     multi_link.append((key, ch, child, order))
             stack.append(nl.link)
-    return links, multi_match, multi_link, f"{shape.kind}:{shape.value}"
+    # Literal-focus caveat: the kernel drops LITERAL wave nodes (a
+    # literal focus cannot CBD or match forward, so for forward plans
+    # the drop is exact), but the interpreter can still match an
+    # inverse-FIRST chain from a literal focus (full-identity object
+    # lookup). That combination needs a shape that (a) is the target of
+    # a nodeLink whose last hop is forward (only forward hops can land
+    # on literals) and (b) owns a chain whose first hop is inverse —
+    # reject it conservatively to the per-member interpreter.
+    fwd_children = {l[2] for l in links} | {
+        child for _, ch, child, _ in multi_link if not ch[-1][1]}
+    inv_first = {k for k, ch in multi_match if ch[0][1]} | {
+        k for k, ch, _, _ in multi_link if ch[0][1]}
+    if fwd_children & inv_first:
+        return None
+    return (links, multi_match, multi_link,
+            f"{shape.kind}:{shape.value}", frozenset(closed_keys))
 
 
 def _anti(left: pd.DataFrame, right: pd.DataFrame, cols: List[str]) -> pd.DataFrame:
@@ -498,10 +536,15 @@ def _vec_extract_bucket(
     answer is traversal-order-dependent rather than semantically
     canonical.
 
-    Multi-hop forward chains (flattened sequences/alternatives) run as
+    Hop chains (flattened sequences/alternatives/inverses) run as
     chained CSR gathers per wave: match chains emit witness quads at
-    every hop past the first (hop-1 witnesses are a subset of the focus
-    star CBD already emitted); link chains produce claim targets only.
+    every hop past the first (hop-1 FORWARD witnesses are a subset of
+    the focus star CBD already emitted — except for CLOSED shapes,
+    which run no CBD and emit every hop; INVERSE hops always emit);
+    link chains produce claim targets only. Inverse hops read a second
+    CSR sorted on object codes (reference POSG, lib/Utils.ts:10-23)
+    with literal identity (value, lang, datatype) baked into literal
+    object codes.
 
     One factorize pass turns every node string (subjects, objects,
     graphs, member entities) into codes; a node is
@@ -521,9 +564,28 @@ def _vec_extract_bucket(
     tq = tpdf.reset_index(drop=True)
     mdf = mpdf.reset_index(drop=True)
 
+    links, multi_match, multi_link, root_key, closed_keys = vec_plan
+    has_inv = any(h[1] for _, ch in multi_match for h in ch) or any(
+        h[1] for _, ch, _, _ in multi_link for h in ch)
+
     graph = tq["graph"] if "graph" in tq else pd.Series([None] * n, dtype="object")
+    obj_vals = tq["object_value"]
+    if has_inv:
+        # An inverse hop from a LITERAL focus matches by full literal
+        # identity (value, lang, datatype) — lib/Utils.ts:85-92, mirrored
+        # by the interpreter's literal-focus scan. Bake the identity into
+        # the literal value codes so object-keyed lookups compare it in
+        # one int64. Non-literals keep bare values (their codes must
+        # still equal subject/member/graph codes). Pruned inputs
+        # (columns= dropped lang/datatype from the scan) degrade to
+        # value-only identity — exactly what the interpreter sees too.
+        lang = tq["object_lang"].fillna("") if "object_lang" in tq else ""
+        dt = tq["object_datatype"].fillna("") if "object_datatype" in tq else ""
+        comp = obj_vals + "\x00" + lang + "\x00" + dt
+        obj_vals = obj_vals.where(
+            tq["object_kind"].astype("int64") != LITERAL, comp)
     vals = pd.concat(
-        [tq["subject"], tq["object_value"], graph, mdf["_m_entity"]],
+        [tq["subject"], obj_vals, graph, mdf["_m_entity"]],
         ignore_index=True,
     )
     vcodes, uniq = pd.factorize(vals, use_na_sentinel=True)
@@ -578,33 +640,43 @@ def _vec_extract_bucket(
     cbd_row_ok = (graph_v == 0) if cbd_default_graph else None
 
     # CSR over subjects of traversal rows: sorted once, every wave is
-    # searchsorted + range gather
+    # searchsorted + range gather. Inverse hops get a SECOND ordering
+    # sorted on object codes — the in-bucket analogue of the reference's
+    # POSG index (lib/Utils.ts:10-23) — built only when the plan has
+    # inverse hops; forward-only shapes never pay for it.
     rows_trav = np.nonzero(trav_mask)[0]
-    srt = np.argsort(snode[rows_trav])
-    csr_rows = rows_trav[srt]
-    csr_keys = snode[csr_rows]
-    key_u, starts = np.unique(csr_keys, return_index=True)
-    ends = np.append(starts[1:], len(csr_keys))
 
-    def neigh(nodes: np.ndarray):
-        """(quad row indices, index-into-nodes) for all traversal quads
-        whose subject is one of ``nodes``."""
-        pos = np.searchsorted(key_u, nodes)
-        pos[pos >= len(key_u)] = 0 if len(key_u) else 0
-        if not len(key_u):
-            return (np.empty(0, np.int64),) * 2
-        hit = key_u[pos] == nodes
-        hpos = pos[hit]
-        owners = np.nonzero(hit)[0]
-        s, e = starts[hpos], ends[hpos]
-        cnt = e - s
-        total = int(cnt.sum())
-        if total == 0:
-            return (np.empty(0, np.int64),) * 2
-        out = np.repeat(s, cnt) + (
-            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        )
-        return csr_rows[out], np.repeat(owners, cnt)
+    def _make_csr(keyarr: np.ndarray):
+        srt = np.argsort(keyarr[rows_trav])
+        csr_rows = rows_trav[srt]
+        csr_keys = keyarr[csr_rows]
+        key_u, starts = np.unique(csr_keys, return_index=True)
+        ends = np.append(starts[1:], len(csr_keys))
+
+        def lookup(nodes: np.ndarray):
+            """(quad row indices, index-into-nodes) for all traversal
+            quads whose key is one of ``nodes``."""
+            if not len(key_u):
+                return (np.empty(0, np.int64),) * 2
+            pos = np.searchsorted(key_u, nodes)
+            pos[pos >= len(key_u)] = 0
+            hit = key_u[pos] == nodes
+            hpos = pos[hit]
+            owners = np.nonzero(hit)[0]
+            s, e = starts[hpos], ends[hpos]
+            cnt = e - s
+            total = int(cnt.sum())
+            if total == 0:
+                return (np.empty(0, np.int64),) * 2
+            out = np.repeat(s, cnt) + (
+                np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            return csr_rows[out], np.repeat(owners, cnt)
+
+        return lookup
+
+    neigh = _make_csr(snode)
+    neigh_inv = _make_csr(onode) if has_inv else None
 
     def graph_keep(rows, own_mids):
         if not bulk:
@@ -677,7 +749,6 @@ def _vec_extract_bucket(
             mid_arr, node_arr = kmid[mask], knode[mask]
 
     # ---- shape-guided recursion over the links table ----
-    links, multi_match, multi_link, root_key = vec_plan
     pred_codes, pred_uniq = pd.factorize(tq["predicate"])
     pred_codes = pred_codes.astype(np.int64)
     P = len(pred_uniq) + 1
@@ -685,6 +756,7 @@ def _vec_extract_bucket(
         {l[0] for l in links} | {l[2] for l in links}
         | {m[0] for m in multi_match}
         | {m[0] for m in multi_link} | {m[2] for m in multi_link}
+        | set(closed_keys)
         | ({root_key} if root_key is not None else set())
     )
     sk_id = {k: i for i, k in enumerate(skeys)}
@@ -699,32 +771,46 @@ def _vec_extract_bucket(
             if key not in lmap or lorder < lmap[key][1]:
                 lmap[key] = (sk_id[child], lorder)
 
-    # Multi-hop chains -> predicate-code arrays. A match chain with a
-    # predicate absent from this bucket is truncated at the first
+    # Chains -> (predicate-code, inverse-flag) arrays. A match chain
+    # with a predicate absent from this bucket is truncated at the first
     # missing hop (the interpreter still emits the reachable prefix's
     # witnesses); a link chain with any missing hop has no targets.
-    mm_chains: List[Tuple[int, np.ndarray]] = []
+    closed_ids = np.array(
+        sorted(sk_id[k] for k in closed_keys if k in sk_id), dtype=np.int64)
+    mm_chains: List[Tuple[int, np.ndarray, np.ndarray, bool]] = []
     for skey, ch in multi_match:
-        pids = plut.get_indexer(list(ch)).astype(np.int64)
+        pids = plut.get_indexer([h[0] for h in ch]).astype(np.int64)
+        invs = np.array([h[1] for h in ch], dtype=bool)
         miss = np.nonzero(pids < 0)[0]
-        pids = pids[: miss[0]] if len(miss) else pids
+        if len(miss):
+            pids, invs = pids[: miss[0]], invs[: miss[0]]
         if len(pids):
-            mm_chains.append((sk_id[skey], pids))
-    ml_chains: List[Tuple[int, np.ndarray, int, int]] = []
+            # closed shapes run no CBD, so even hop-0 forward witnesses
+            # must be emitted (lib/CBDShapeExtractor.ts:389-391)
+            mm_chains.append(
+                (sk_id[skey], pids, invs, skey in closed_keys))
+    ml_chains: List[Tuple[int, np.ndarray, np.ndarray, int, int]] = []
     for skey, ch, child, lorder in multi_link:
-        pids = plut.get_indexer(list(ch)).astype(np.int64)
+        pids = plut.get_indexer([h[0] for h in ch]).astype(np.int64)
+        invs = np.array([h[1] for h in ch], dtype=bool)
         if (pids >= 0).all():
-            ml_chains.append((sk_id[skey], pids, sk_id[child], lorder))
+            ml_chains.append(
+                (sk_id[skey], pids, invs, sk_id[child], lorder))
 
     def chain_gather(mids: np.ndarray, nodes: np.ndarray,
-                     pids: np.ndarray, emit: bool):
-        """Walk one predicate chain from (mids, nodes); optionally emit
-        witness quads for hops past the first (hop-1 witnesses are in
-        the focus star)."""
-        for depth, pid in enumerate(pids):
+                     pids: np.ndarray, invs: np.ndarray, emit: bool,
+                     emit0: bool = False):
+        """Walk one hop chain from (mids, nodes); optionally emit
+        witness quads. Forward hop-0 witnesses are skipped unless
+        ``emit0`` (non-closed shapes: they are in the focus star the
+        CBD already emitted); inverse hops always emit when ``emit``
+        (an incoming quad is never in the focus star). An inverse hop
+        reads the object-sorted CSR and steps to the quad's SUBJECT
+        (lib/Path.ts:52-64)."""
+        for depth, (pid, inv) in enumerate(zip(pids, invs)):
             if not len(nodes):
                 break
-            rows, own = neigh(nodes)
+            rows, own = (neigh_inv if inv else neigh)(nodes)
             if len(rows):
                 keep = pred_codes[rows] == pid
                 rows, own = rows[keep], own[keep]
@@ -733,11 +819,11 @@ def _vec_extract_bucket(
                 rows, own = rows[keep], own[keep]
             if not len(rows):
                 return (np.empty(0, np.int64),) * 2
-            if emit and depth > 0:
+            if emit and (inv or depth > 0 or emit0):
                 emitted_mid.append(mids[own])
                 emitted_qid.append(rows)
             mids = mids[own]
-            nodes = onode[rows]
+            nodes = snode[rows] if inv else onode[rows]
         return mids, nodes
 
     w_mid = np.arange(m, dtype=np.int64)
@@ -760,8 +846,14 @@ def _vec_extract_bucket(
         w_mid, w_node, w_skey = w_mid[mask], w_node[mask], w_skey[mask]
         if not len(w_mid):
             break
-        # every vectorizable shape is non-closed -> CBD at each node
-        run_cbd(w_mid, w_node)
+        # CBD at each node EXCEPT closed-shape focus nodes
+        # (lib/CBDShapeExtractor.ts:389-391; unresolved keys = plain CBD)
+        if len(closed_ids):
+            open_sel = ~np.isin(w_skey, closed_ids)
+            if open_sel.any():
+                run_cbd(w_mid[open_sel], w_node[open_sel])
+        else:
+            run_cbd(w_mid, w_node)
         if not lmap and not mm_chains and not ml_chains:
             break
         nxt_mid: List[np.ndarray] = []
@@ -787,16 +879,17 @@ def _vec_extract_bucket(
                     nxt_node.append(onode[rows[has]])
                     nxt_skey.append(child[has])
                     nxt_lorder.append(lord[has])
-        for sk, pids in mm_chains:
+        for sk, pids, invs, emit0 in mm_chains:
             sel = w_skey == sk
             if sel.any():
-                chain_gather(w_mid[sel], w_node[sel], pids, emit=True)
-        for sk, pids, cid, lo in ml_chains:
+                chain_gather(w_mid[sel], w_node[sel], pids, invs,
+                             emit=True, emit0=emit0)
+        for sk, pids, invs, cid, lo in ml_chains:
             sel = w_skey == sk
             if not sel.any():
                 continue
             mids, nodes = chain_gather(w_mid[sel], w_node[sel], pids,
-                                       emit=False)
+                                       invs, emit=False)
             if len(mids):
                 nxt_mid.append(mids)
                 nxt_node.append(nodes)

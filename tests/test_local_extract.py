@@ -219,15 +219,14 @@ def test_vec_parity_graphs_to_ignore(spark):
     assert "in-A-graph" not in a
 
 
-def test_vec_gate_accepts_forward_rejects_inverse_multi():
+def test_vec_gate_accepts_chains_rejects_multipath():
     from extract_cbd_shape_spark.operators.local_extract import (
         compile_single_hop_links)
     sg = ShapesGraph.from_quads(parse_trig(load_fixture("05 - paths/shape.ttl")))
     # forward sequences vectorize (r3: chained CSR gathers)
     seq = compile_single_hop_links(sg, Term(IRI, EX + "SequencePathShape"))
     assert seq is not None and len(seq[1]) > 0  # a multi-hop match chain
-    # tests/05 AlternativePathShape is sh:closed -> rejected for THAT;
-    # a non-closed forward alternative vectorizes
+    # non-closed forward alternative vectorizes
     alt_sg = ShapesGraph.from_quads(parse_trig("""
     @prefix sh: <http://www.w3.org/ns/shacl#> .
     @prefix ex: <http://example.org/> .
@@ -237,21 +236,49 @@ def test_vec_gate_accepts_forward_rejects_inverse_multi():
     """))
     assert compile_single_hop_links(alt_sg, Term(IRI, EX + "AltShape")) \
         is not None
+    # r3 second pass: closed shapes + inverse hops vectorize too
+    alt = compile_single_hop_links(sg, Term(IRI, EX + "AlternativePathShape"))
+    assert alt is not None and len(alt[4]) == 1  # closed key set
+    inv = compile_single_hop_links(sg, Term(IRI, EX + "InversePathShape"))
+    assert inv is not None and inv[1][0][1][0][1] is True  # inverse hop
     assert compile_single_hop_links(
-        sg, Term(IRI, EX + "AlternativePathShape")) is None  # closed
-    # inverse / multipath keep the per-member interpreter (trie reduction)
-    assert compile_single_hop_links(
-        sg, Term(IRI, EX + "InversePathShape")) is None
+        sg, Term(IRI, EX + "SequenceAndInversePathShape")) is not None
+    # double inverse cancels to a forward hop (closed shape -> emit0)
+    dbl = compile_single_hop_links(sg, Term(IRI, EX + "DoubleInversePathShape"))
+    assert dbl is not None and dbl[1][0][1][0][1] is False
+    # multipaths keep the per-member interpreter (per-root visited state)
     assert compile_single_hop_links(
         sg, Term(IRI, EX + "ZeroOrMorePathShape")) is None
     assert compile_single_hop_links(
-        sg, Term(IRI, EX + "SequenceAndInversePathShape")) is None
+        sg, Term(IRI, EX + "OneOrMorePathShape")) is None
+
+
+def test_vec_gate_rejects_literal_focus_inverse_first_child():
+    """A nodeLink whose (forward) targets may be literals, linking to a
+    shape with an inverse-FIRST chain: the interpreter matches from the
+    literal focus by full identity; the kernel drops literal wave
+    nodes, so the gate must send this to the interpreter."""
+    from extract_cbd_shape_spark.operators.local_extract import (
+        compile_single_hop_links)
+    sg = ShapesGraph.from_quads(parse_trig("""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:Root a sh:NodeShape ;
+      sh:property [ sh:path ex:tag ; sh:node ex:TagShape ] .
+    ex:TagShape a sh:NodeShape ;
+      sh:property [ sh:path [ sh:inversePath ex:tag ] ; sh:minCount 1 ] .
+    """))
+    assert compile_single_hop_links(sg, Term(IRI, EX + "Root")) is None
 
 
 @pytest.mark.parametrize("shape,entity", [
     ("SequencePathShape", "B"),
     ("AlternativePathShape", "B"),
     ("AllTogetherPathShape", "B"),
+    # r3 second pass: inverse hops (object-sorted CSR) + closed shapes
+    ("InversePathShape", "C"),
+    ("DoubleInversePathShape", "B"),
+    ("SequenceAndInversePathShape", "C"),
 ])
 def test_vec_parity_forward_sequence_alternative(spark, shape, entity):
     """r3 kernel extension: forward sequences/alternatives run as
@@ -360,6 +387,123 @@ ex:L2 ex:val "v2" .
     assert {"v1", "v2"} <= vals  # both branches' leaves extracted
     # M star (2) + X->L1, Y->L2 hop-2 witnesses (2) + L1/L2 stars (2)
     assert len(vec) == 6
+
+
+def test_vec_parity_inverse_chain_link(spark):
+    """Inverse nodeLink (^ptr -> child shape): targets come from the
+    object-sorted CSR and the linked shape extracts at the SUBJECT of
+    the incoming quad; the inverse match witness is emitted even at
+    hop 0 (never part of the focus star). vec == interpreter."""
+    shape_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:RootShape a sh:NodeShape ;
+      sh:property [ sh:path [ sh:inversePath ex:ptr ] ; sh:minCount 1 ;
+                    sh:node ex:SrcShape ] .
+    ex:SrcShape a sh:NodeShape ;
+      sh:property [ sh:path ex:val ; sh:minCount 1 ] .
+    """
+    data_ttl = """
+@prefix ex: <http://example.org/> .
+ex:M ex:own "root star" .
+ex:In1 ex:ptr ex:M ; ex:val "src star" .
+ex:In2 ex:ptr ex:M .
+ex:Other ex:ptr ex:Unrelated .
+"""
+    quads = [quad_to_row(q) for q in parse_trig(data_ttl)]
+    sg = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    tdf = spark.createDataFrame(quads, schema=_QUAD_SCHEMA).withColumn(
+        "store_key", F.lit("s1"))
+    mem = spark.createDataFrame(
+        [("http://example.org/M",)], "entity string").withColumn(
+        "store_key", F.lit("s1"))
+    kw = dict(shapes_graph=sg, shape=Term(IRI, EX + "RootShape"),
+              bulk=False, n_buckets=1)
+    vec = {tuple(r) for r in
+           local_bulk_extract(tdf, mem, vectorize=True, **kw).collect()}
+    loop = {tuple(r) for r in
+            local_bulk_extract(tdf, mem, vectorize=False, **kw).collect()}
+    assert vec == loop
+    vals = {r[4] for r in vec}
+    assert "root star" in vals          # M's CBD
+    assert "src star" in vals           # linked shape extracted at In1
+    assert EX + "Unrelated" not in vals  # unrelated incoming edge
+    # M star (1) + 2 inverse witnesses + In1 star (ptr already a
+    # witness; + val) = 1 + 2 + 1
+    assert len(vec) == 4
+
+
+def test_vec_inverse_literal_identity(spark):
+    """A forward-then-inverse chain through a LITERAL focus matches by
+    full literal identity (value, lang, datatype) — lib/Utils.ts:85-92:
+    "lit" must not match "lit"@en. vec == interpreter."""
+    shape_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:RootShape a sh:NodeShape ;
+      sh:property [ sh:path (ex:p [ sh:inversePath ex:q ]) ;
+                    sh:minCount 1 ] .
+    """
+    data_ttl = """
+@prefix ex: <http://example.org/> .
+ex:M ex:p "lit" .
+ex:X ex:q "lit" .
+ex:Y ex:q "lit"@en .
+"""
+    quads = [quad_to_row(q) for q in parse_trig(data_ttl)]
+    sg = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    tdf = spark.createDataFrame(quads, schema=_QUAD_SCHEMA).withColumn(
+        "store_key", F.lit("s1"))
+    mem = spark.createDataFrame(
+        [("http://example.org/M",)], "entity string").withColumn(
+        "store_key", F.lit("s1"))
+    kw = dict(shapes_graph=sg, shape=Term(IRI, EX + "RootShape"),
+              bulk=False, n_buckets=1)
+    vec = {tuple(r) for r in
+           local_bulk_extract(tdf, mem, vectorize=True, **kw).collect()}
+    loop = {tuple(r) for r in
+            local_bulk_extract(tdf, mem, vectorize=False, **kw).collect()}
+    assert vec == loop
+    subs = {r[1] for r in vec}
+    assert EX + "X" in subs      # plain "lit" matches
+    assert EX + "Y" not in subs  # "lit"@en does NOT
+    assert len(vec) == 2         # M's star + X's inverse witness
+
+
+def test_vec_parity_bulk_isolation_through_inverse(spark):
+    """Bulk member isolation applies to inverse hops too: an incoming
+    edge stored in ANOTHER member's named graph must not be matched
+    (lib/CBDShapeExtractor.ts:95-99 via Path.ts:66)."""
+    data_ttl = """
+@prefix ex: <http://example.org/> .
+ex:M1 ex:own "m1" .
+ex:M2 ex:own "m2" .
+ex:In1 ex:ptr ex:M1 .
+ex:M2 { ex:In2 ex:ptr ex:M1 . }
+"""
+    shape_ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:InvShape a sh:NodeShape ;
+      sh:property [ sh:path [ sh:inversePath ex:ptr ] ] .
+    """
+    quads = [quad_to_row(q) for q in parse_trig(data_ttl)]
+    sg = ShapesGraph.from_quads(parse_trig(shape_ttl))
+    tdf = spark.createDataFrame(quads, schema=_QUAD_SCHEMA).withColumn(
+        "store_key", F.lit("s1"))
+    mem = spark.createDataFrame(
+        [("http://example.org/M1",), ("http://example.org/M2",)],
+        "entity string").withColumn("store_key", F.lit("s1"))
+    kw = dict(shapes_graph=sg, shape=Term(IRI, EX + "InvShape"),
+              bulk=True, n_buckets=1)
+    vec = {tuple(r) for r in
+           local_bulk_extract(tdf, mem, vectorize=True, **kw).collect()}
+    loop = {tuple(r) for r in
+            local_bulk_extract(tdf, mem, vectorize=False, **kw).collect()}
+    assert vec == loop
+    m1_subs = {r[1] for r in vec if r[0] == EX + "M1"}
+    assert EX + "In1" in m1_subs      # default-graph incoming edge
+    assert EX + "In2" not in m1_subs  # lives in M2's named graph
 
 
 def test_vec_parity_shaped_cbd_default_graph(spark):
@@ -597,8 +741,8 @@ def test_vec_deep_chain_linear_growth():
                              "_m_entity": ["http://x/M"], "_m_kind": [IRI]})
         t0 = time.time()
         out = _vec_extract_bucket(tpdf, mpdf, "store_key",
-                                  ([], [], [], None), False, False,
-                                  set(), OUT_COLS)
+                                  ([], [], [], None, frozenset()),
+                                  False, False, set(), OUT_COLS)
         assert len(out) == depth
         return time.time() - t0
 
