@@ -426,12 +426,24 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
     inverse)`` pairs; inverse hops read the kernel's object-sorted CSR
     (the reference's POSG ordering, lib/Utils.ts:10-23).
 
-    Match-path gating follows the bulk-engine contract (matched
-    unconditionally per wave — the same per-round gate the global
-    engine applies; the interpreter's DFS-order found() skips diverge
-    only when several focus nodes share one trie position). Closed
-    shapes never gate (lib/CBDShapeExtractor.ts:408), so for them
-    unconditional matching is EXACT interpreter/reference semantics.
+    Match-path found() gating (lib/CBDShapeExtractor.ts:404-417) is
+    reproduced as follows: single-hop forward chains need no gate
+    (their witnesses are a subset of the focus star either way);
+    all-forward multi-hop chains are gated per (member, focus) by
+    blank-route detection in the kernel (``blank_gated`` — from a fresh
+    focus, CBD words are exactly the blank-descent routes); REDUCING
+    chains (a hop canceling the previous step or the arrival step —
+    the other way a walk can land on witnessed words) are rejected to
+    the per-member interpreter below; non-reducing inverse/mixed chains
+    cannot be witnessed by CBD words at all. Closed shapes never gate
+    (lib/CBDShapeExtractor.ts:408), so for them unconditional matching
+    is EXACT interpreter/reference semantics. Remaining documented
+    divergence classes (the bulk-engine contract, pinned by tests):
+    several focus nodes sharing one trie position (the reference's
+    member-global word set lets one focus's match gate another's),
+    cross-path word witnessing between identical chain prefixes, and
+    multi-parent blanks (the reference's word claim is traversal-order
+    dependent; the kernel gate claims any-route).
 
     ``cbd_default_graph`` + match paths on a NON-closed shape is
     rejected: the kernel emits single-hop forward witnesses only
@@ -498,6 +510,36 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
         k for k, ch, _, _ in multi_link if ch[0][1]}
     if fwd_children & inv_first:
         return None
+    # REDUCING chains are rejected: a hop that cancels the previous step
+    # (or the arrival step of the shape's trie position) walks the
+    # found() probe back onto an already-witnessed word — e.g. (p ^p)
+    # from the root reduces to ROOT, which is always witnessed, so the
+    # reference SKIPS the match and collects no witnesses
+    # (lib/Path.ts:90-98 via the trie's pop, lib/CBDShapeExtractor.ts:
+    # 241-269). Unconditional bulk matching would emit them. The
+    # per-member interpreter keeps these exotic shapes exact.
+    incoming_last: Dict[str, Set[tuple]] = {}
+    for k_, pred_, child_, _o in links:
+        incoming_last.setdefault(child_, set()).add((pred_, False))
+    for k_, ch_, child_, _o in multi_link:
+        incoming_last.setdefault(child_, set()).add(ch_[-1])
+
+    def _reduces(key: str, ch: tuple) -> bool:
+        for a, b in zip(ch, ch[1:]):
+            if a[0] == b[0] and a[1] != b[1]:
+                return True
+        return any(p == ch[0][0] and d != ch[0][1]
+                   for p, d in incoming_last.get(key, ()))
+
+    for k_, ch_ in multi_match:
+        # closed shapes never gate -> reduction is harmless there
+        if k_ not in closed_keys and _reduces(k_, ch_):
+            return None
+    for k_, ch_, _c, _o in multi_link:
+        # link chains are never gated themselves, but a reducing walk
+        # would corrupt the child-pos last-step bookkeeping above
+        if _reduces(k_, ch_):
+            return None
     return (links, multi_match, multi_link,
             f"{shape.kind}:{shape.value}", frozenset(closed_keys))
 
@@ -797,6 +839,44 @@ def _vec_extract_bucket(
             ml_chains.append(
                 (sk_id[skey], pids, invs, sk_id[child], lorder))
 
+    def blank_gated(mids: np.ndarray, nodes: np.ndarray,
+                    pids: np.ndarray) -> np.ndarray:
+        """found()-gate for all-forward multi-hop match chains of open
+        shapes: the reference skips matching a path whose full word
+        walk is already witnessed (lib/CBDShapeExtractor.ts:404-417 via
+        Path.found). From a fresh focus, CBD words are exactly the
+        blank-descent routes (every non-terminal hop lands on a blank
+        node the star closure walked), so a (member, focus) pair is
+        gated iff a FULL blank-intermediate realization of the chain
+        exists. Returns a bool mask over the input pairs. Known
+        divergence (documented contract): when a blank is reachable
+        through several predicates, the reference's word claim is
+        traversal-order-dependent — this gate claims any-route."""
+        k = len(pids)
+        out = np.zeros(len(nodes), dtype=bool)
+        cur_m, cur_n = mids, nodes
+        cur_o = np.arange(len(nodes), dtype=np.int64)
+        for depth, pid in enumerate(pids):
+            rows, own = neigh(cur_n)
+            if len(rows):
+                keep = pred_codes[rows] == pid
+                rows, own = rows[keep], own[keep]
+            if len(rows):
+                keep = graph_keep(rows, cur_m[own])
+                rows, own = rows[keep], own[keep]
+            if depth < k - 1 and len(rows):
+                keep = okd[rows] == BLANK
+                rows, own = rows[keep], own[keep]
+            if not len(rows):
+                return out
+            cur_m, cur_o = cur_m[own], cur_o[own]
+            cur_n = onode[rows]
+            key = cur_o * NKEY + cur_n
+            _, first = np.unique(key, return_index=True)
+            cur_m, cur_n, cur_o = cur_m[first], cur_n[first], cur_o[first]
+        out[np.unique(cur_o)] = True
+        return out
+
     def chain_gather(mids: np.ndarray, nodes: np.ndarray,
                      pids: np.ndarray, invs: np.ndarray, emit: bool,
                      emit0: bool = False):
@@ -881,9 +961,15 @@ def _vec_extract_bucket(
                     nxt_lorder.append(lord[has])
         for sk, pids, invs, emit0 in mm_chains:
             sel = w_skey == sk
-            if sel.any():
-                chain_gather(w_mid[sel], w_node[sel], pids, invs,
-                             emit=True, emit0=emit0)
+            if not sel.any():
+                continue
+            m_, n_ = w_mid[sel], w_node[sel]
+            if not emit0 and len(pids) > 1 and not invs.any():
+                keep = ~blank_gated(m_, n_, pids)
+                m_, n_ = m_[keep], n_[keep]
+                if not len(m_):
+                    continue
+            chain_gather(m_, n_, pids, invs, emit=True, emit0=emit0)
         for sk, pids, invs, cid, lo in ml_chains:
             sel = w_skey == sk
             if not sel.any():

@@ -12,9 +12,16 @@ test_vec_parity_* goldens):
 * F1  single-hop match paths + self-recursive nodeLinks (single-hop and
       chained) — one shape key, witnesses subset of the focus star;
 * F2  multi-hop match chains at the ROOT focus only (no nodeLinks) —
-      one focus per trie, no shared positions;
+      one focus per trie, no shared positions; blank objects are made
+      single-parent constructively (multi-parent blanks are the
+      documented word-claim divergence, test_vec_gating pins it);
 * F3  pure CBD (no shape) with bulk isolation, graphs-to-ignore and
-      cbd_default_graph.
+      cbd_default_graph;
+* F4  CLOSED root shape with forward/inverse/mixed chains — closed
+      shapes never found()-gate, so parity is exact on ANY store;
+* F5  non-reducing inverse/mixed chains at the ROOT — their word walks
+      contain a negative step no CBD word can witness, so they are
+      never gated and parity is exact on ANY store.
 
 Reference semantics under test: CBD star + blank closure
 (lib/CBDShapeExtractor.ts:472-508), bulk member-graph isolation
@@ -146,11 +153,69 @@ def test_prop_parity_single_hop_and_self_links(
         _interp_rows(quads, members, sg, shape, bulk, ignore)
 
 
+def _single_parent_blanks(quads):
+    """Rename repeated blank OBJECT values to fresh labels: each blank
+    is then reachable through at most one quad, removing the reference's
+    traversal-order-dependent word-claim corner (pinned separately by
+    test_vec_gating.test_multi_parent_blank_word_claim_divergence_pinned)."""
+    seen = set()
+    out = []
+    for i, q in enumerate(quads):
+        if q[4] == BLANK:
+            if q[3] in seen:
+                q = q[:3] + (f"{q[3]}~{i}",) + q[4:]
+            else:
+                seen.add(q[3])
+        out.append(q)
+    return out
+
+
 @settings(max_examples=150, deadline=None)
 @given(stores())
 def test_prop_parity_root_chain_matches(store):
     quads, members, bulk, ignore = store
+    quads = _single_parent_blanks(quads)
     sg = ShapesGraph.from_quads(parse_trig(CHAIN_TTL))
+    shape = Term(IRI, X + "S")
+    assert _vec_rows(quads, members, sg, shape, bulk, ignore) == \
+        _interp_rows(quads, members, sg, shape, bulk, ignore)
+
+
+CLOSED_TTL = (
+    "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+    "@prefix ex: <http://x/> .\n"
+    "ex:S a sh:NodeShape ;\n"
+    "  sh:closed true ;\n"
+    "  sh:property [ sh:path (ex:p ex:q) ] ;\n"
+    "  sh:property [ sh:path [ sh:inversePath ex:p ] ] ;\n"
+    "  sh:property [ sh:path (ex:q [ sh:inversePath ex:r ]) ] .\n"
+)
+
+INV_TTL = (
+    "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+    "@prefix ex: <http://x/> .\n"
+    "ex:S a sh:NodeShape ;\n"
+    "  sh:property [ sh:path [ sh:inversePath ex:p ] ] ;\n"
+    "  sh:property [ sh:path (ex:p [ sh:inversePath ex:q ]) ] ;\n"
+    "  sh:property [ sh:path ex:r ] .\n"
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(stores())
+def test_prop_parity_closed_shape_chains(store):
+    quads, members, bulk, ignore = store
+    sg = ShapesGraph.from_quads(parse_trig(CLOSED_TTL))
+    shape = Term(IRI, X + "S")
+    assert _vec_rows(quads, members, sg, shape, bulk, ignore) == \
+        _interp_rows(quads, members, sg, shape, bulk, ignore)
+
+
+@settings(max_examples=150, deadline=None)
+@given(stores())
+def test_prop_parity_root_inverse_mixed_chains(store):
+    quads, members, bulk, ignore = store
+    sg = ShapesGraph.from_quads(parse_trig(INV_TTL))
     shape = Term(IRI, X + "S")
     assert _vec_rows(quads, members, sg, shape, bulk, ignore) == \
         _interp_rows(quads, members, sg, shape, bulk, ignore)
