@@ -355,10 +355,16 @@ def extract_store(quads: List[tuple], members: Sequence[Tuple[int, str]],
 # of the reference's POSG index ordering (lib/Utils.ts:10-23) — and
 # (c) CLOSED shapes, which skip CBD and never found()-gate
 # (lib/CBDShapeExtractor.ts:389-391,408), so unconditional per-wave
-# matching is EXACT reference semantics for them. Only multipaths
-# (zeroOrMore / oneOrMore / zeroOrOne) keep the per-member interpreter:
-# their per-root visited/admit bookkeeping is genuinely per-member
-# state.
+# matching is EXACT reference semantics for them, and (d) MULTIPATHS
+# (zeroOrMore / oneOrMore / zeroOrOne): a multi-source BFS with a
+# per-(member, node) visited set computes the same witness/target
+# UNIONS as the interpreter's per-root visited admit-but-don't-expand
+# loop (results are sets); on open shapes a whole-path ``*``/``?``
+# match is ALWAYS found()-gated (found is always truthy) and so emits
+# nothing, while ``+`` gates per focus by one-application blank-route
+# detection. Open-shape paths that EMBED a multipath in a longer
+# sequence (fold-dependent gate semantics) keep the per-member
+# interpreter.
 
 
 _MAX_CHAINS = 32  # per-path branch-explosion cap for the flattener
@@ -401,15 +407,134 @@ def _flatten_chain(path: Path, inv: bool = False
     return None  # MultiPath: per-root visited/admit state
 
 
+# A segment is ("chain", hops) with hops = ((pred, inverse), ...) or
+# ("multi", kind, inner_chains, max_count) with kind in "*+?" and
+# inner_chains a list of hop tuples (the multipath's inner path,
+# pre-flattened — nested multipaths are not segmentable).
+_MULTI_KINDS = {"ZeroOrMorePath": "*", "OneOrMorePath": "+",
+                "ZeroOrOnePath": "?"}
+
+
+def _flatten_segments(path: Path, inv: bool = False):
+    """Flatten a path CONTAINING multipaths into variants of segment
+    lists: ``(p1 q*)`` -> one variant ``[chain(p1), multi(*, [q])]``;
+    an alternative forks variants. Adjacent chain segments merge.
+    ``inv`` distributes into multipath inner chains exactly as the
+    interpreter does (``_match_multi`` passes ``inverse`` down to the
+    inner ``match``, mirroring lib/Path.ts:212-287). Returns None for
+    nested multipaths or branch explosion past ``_MAX_CHAINS``."""
+    if isinstance(path, MultiPath):
+        inner = _flatten_chain(path.path, inv)
+        if inner is None:
+            return None
+        kind = _MULTI_KINDS[type(path).__name__]
+        return [[("multi", kind, inner, path.max_count)]]
+    if isinstance(path, InversePath):
+        return _flatten_segments(path.path, not inv)
+    if isinstance(path, SequencePath):
+        variants = [[]]
+        for step in path.sequence:
+            sub = _flatten_chain(step, inv)
+            if sub is not None:
+                subv = [[("chain", ch)] for ch in sub]
+            else:
+                subv = _flatten_segments(step, inv)
+                if subv is None:
+                    return None
+            variants = [v + s for v in variants for s in subv]
+            if len(variants) > _MAX_CHAINS:
+                return None
+        out = []
+        for v in variants:
+            merged: list = []
+            for seg in v:
+                if (seg[0] == "chain" and merged
+                        and merged[-1][0] == "chain"):
+                    merged[-1] = ("chain", merged[-1][1] + seg[1])
+                else:
+                    merged.append(seg)
+            out.append(merged)
+        return out
+    if isinstance(path, AlternativePath):
+        out = []
+        for branch in path.alternatives:
+            sub = _flatten_chain(branch, inv)
+            if sub is not None:
+                out.extend([("chain", ch)] for ch in sub)
+            else:
+                subv = _flatten_segments(branch, inv)
+                if subv is None:
+                    return None
+                out.extend(subv)
+            if len(out) > _MAX_CHAINS:
+                return None
+        return out
+    ch = _flatten_chain(path, inv)
+    return None if ch is None else [[("chain", c)] for c in ch]
+
+
+def _variant_edge_hops(variant, front: bool):
+    """The set of possible FIRST (``front``) or LAST hops of a segment
+    variant, plus a passthrough flag: True when the whole variant can
+    realize ZERO hops (every segment a ``*``/``?`` multi), in which
+    case an arrival/first hop comes from outside the variant."""
+    hops: set = set()
+    segs = variant if front else list(reversed(variant))
+    for seg in segs:
+        if seg[0] == "chain":
+            if seg[1]:
+                hops.add(seg[1][0] if front else seg[1][-1])
+                return hops, False
+            continue  # empty chain: transparent
+        _, kind, inner, _mc = seg
+        for ch in inner:
+            if ch:
+                hops.add(ch[0] if front else ch[-1])
+        if kind == "+":
+            return hops, False
+        # '*' / '?': zero applications possible -> keep walking
+    return hops, True
+
+
+def _variant_adjacent_pairs(variant):
+    """All ordered hop pairs that can be ADJACENT in some realization
+    of the variant (conservative superset): within-chain neighbours,
+    within-inner-chain neighbours, inner-application wrap-around pairs
+    (a multipath repeats its inner chain), and cross-boundary pairs
+    between every segment and the nearest non-transparent material on
+    each side (``*``/``?`` segments are transparent at zero
+    applications)."""
+    pairs: set = set()
+    # within-segment pairs
+    for seg in variant:
+        if seg[0] == "chain":
+            pairs.update(zip(seg[1], seg[1][1:]))
+        else:
+            _, kind, inner, _mc = seg
+            for ch in inner:
+                pairs.update(zip(ch, ch[1:]))
+            if kind in ("*", "+"):  # applications repeat -> wrap pairs
+                lasts = {ch[-1] for ch in inner if ch}
+                firsts = {ch[0] for ch in inner if ch}
+                pairs.update((a, b) for a in lasts for b in firsts)
+    # cross-boundary pairs, with transparency across zero-admitting segs
+    for i in range(len(variant)):
+        left_last, _ = _variant_edge_hops(variant[: i + 1], front=False)
+        right_first, _ = _variant_edge_hops(variant[i + 1:], front=True)
+        pairs.update((a, b) for a in left_last for b in right_first)
+    return pairs
+
+
 def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
                              shape: Optional[Term],
                              cbd_default_graph: bool = False):
     """Driver-side vectorizability gate.
 
-    Returns ``(links, multi_match, multi_link, root_key, closed_keys)``
-    when every shape reachable from ``shape`` through nodeLinks uses
-    only chain paths (predicates, sequences, alternatives, inverses —
-    no multipaths); ``None`` otherwise. ``links`` rows are
+    Returns ``(links, multi_match, multi_link, root_key, closed_keys,
+    mp_match, mp_link)`` when every shape reachable from ``shape``
+    through nodeLinks uses chain paths (predicates, sequences,
+    alternatives, inverses) or segmentable multipaths (see below);
+    ``None`` otherwise. ``links`` rows are
     ``(shape_key, predicate, child_shape_key, link_order)`` — the
     single-hop FORWARD recursion structure; ``multi_match`` rows are
     ``(shape_key, chain)`` for match-path chains the kernel must emit
@@ -456,12 +581,33 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
     (ADVICE r2, high). Closed shapes are unaffected: they run no CBD
     and never gate, so their match emission is exact under any
     ``cbd_default_graph``.
+
+    MULTIPATHS (``*``/``+``/``?``, lib/Path.ts:212-287) vectorize as
+    segment variants (``_flatten_segments``): ``mp_match`` rows are
+    ``(shape_key, variant, gated)``, ``mp_link`` rows are
+    ``(shape_key, variant, child_shape_key, link_order)``. Coverage:
+    CLOSED-shape match paths may embed multipaths anywhere (no gates —
+    exact); OPEN-shape match paths take a multipath only as the WHOLE
+    path, where ``*``/``?`` are ALWAYS found()-gated (ZeroOrMore/
+    ZeroOrOne.found is always truthy, lib/Path.ts:346-371) and hence
+    DROPPED (emitting nothing is exact), and ``+`` is gated per focus
+    by one-application blank-route detection (OneOrMorePath.found,
+    lib/Path.ts:321-333); nodeLink paths may embed multipaths on any
+    shape (targets are never gated). Kernel execution is a
+    multi-source BFS whose member-level visited set computes the same
+    witness/target UNIONS as the interpreter's per-root admit-but-
+    don't-expand loop. The literal-focus and reducing-chain rejections
+    extend to variants via their possible first/last hop sets, with
+    zero-admitting variants passing the parent's own focus (and its
+    arrival steps) through to the child (fixpoints below).
     """
     if shape is None or shapes_graph is None:
-        return [], [], [], None, frozenset()
+        return [], [], [], None, frozenset(), [], []
     links: List[tuple] = []
     multi_match: List[tuple] = []
     multi_link: List[tuple] = []
+    mp_match: List[tuple] = []  # (shape_key, variant, gated)
+    mp_link: List[tuple] = []   # (shape_key, variant, child, order)
     closed_keys: Set[str] = set()
     seen: Set[str] = set()
     stack = [shape]
@@ -477,19 +623,51 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
         if tpl.closed:
             closed_keys.add(key)
         for p in tpl.match_paths():
-            chains = _flatten_chain(p)
-            if chains is None:
-                return None
             if cbd_default_graph and not tpl.closed:
                 return None
+            chains = _flatten_chain(p)
+            if chains is None:
+                # Multipath match paths (lib/Path.ts:212-287). CLOSED
+                # shapes never found()-gate, so arbitrary segment
+                # variants emit exactly. OPEN shapes: a whole-path
+                # ``*``/``?`` is ALWAYS gated (ZeroOrMore/ZeroOrOne
+                # .found is always truthy, lib/Path.ts:346-371) ->
+                # dropped, emitting nothing — exact; a whole-path
+                # ``+`` gates iff ONE inner application is witnessed
+                # (lib/Path.ts:321-333) -> blank-route gate per focus.
+                # Multipaths embedded in longer open-shape paths have
+                # fold-dependent gate semantics -> interpreter.
+                variants = _flatten_segments(p)
+                if variants is None:
+                    return None
+                for v in variants:
+                    if tpl.closed:
+                        mp_match.append((key, tuple(v), False))
+                    elif (len(variants) == 1 and len(v) == 1
+                          and v[0][0] == "multi"):
+                        if v[0][1] == "+":
+                            mp_match.append((key, tuple(v), True))
+                        # '*' / '?': always gated -> drop
+                    else:
+                        return None
+                continue
             for ch in chains:
                 if len(ch) > 1 or ch[0][1] or tpl.closed:
                     multi_match.append((key, ch))
         for order, nl in enumerate(tpl.all_node_links()):
             chains = _flatten_chain(nl.path_pattern)
-            if chains is None:
-                return None
             child = f"{nl.link.kind}:{nl.link.value}"
+            if chains is None:
+                # Multipath nodeLinks: targets only, never gated
+                # (lib/CBDShapeExtractor.ts:421-428) — admitted targets
+                # of zero-admitting kinds include the ORIGIN focus.
+                variants = _flatten_segments(nl.path_pattern)
+                if variants is None:
+                    return None
+                for v in variants:
+                    mp_link.append((key, tuple(v), child, order))
+                stack.append(nl.link)
+                continue
             for ch in chains:
                 if len(ch) == 1 and not ch[0][1]:
                     links.append((key, ch[0][0], child, order))
@@ -508,6 +686,29 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
         child for _, ch, child, _ in multi_link if not ch[-1][1]}
     inv_first = {k for k, ch in multi_match if ch[0][1]} | {
         k for k, ch, _, _ in multi_link if ch[0][1]}
+    # multipath variants: a child is forward-reachable when any
+    # possible LAST hop of the link variant is forward; zero-admitting
+    # variants additionally pass the parent's OWN focus through, so the
+    # child inherits the parent's forward-reachability (fixpoint below).
+    passthrough_links: List[Tuple[str, str]] = []
+    for k_, v_, child_, _o in mp_link:
+        lasts, zero_ok = _variant_edge_hops(list(v_), front=False)
+        if any(not h[1] for h in lasts):
+            fwd_children.add(child_)
+        if zero_ok:
+            passthrough_links.append((k_, child_))
+    for entries, is_link in ((mp_match, False), (mp_link, True)):
+        for row in entries:
+            firsts, _zero = _variant_edge_hops(list(row[1]), front=True)
+            if any(h[1] for h in firsts):
+                inv_first.add(row[0])
+    changed = True
+    while changed:
+        changed = False
+        for k_, child_ in passthrough_links:
+            if k_ in fwd_children and child_ not in fwd_children:
+                fwd_children.add(child_)
+                changed = True
     if fwd_children & inv_first:
         return None
     # REDUCING chains are rejected: a hop that cancels the previous step
@@ -523,6 +724,20 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
         incoming_last.setdefault(child_, set()).add((pred_, False))
     for k_, ch_, child_, _o in multi_link:
         incoming_last.setdefault(child_, set()).add(ch_[-1])
+    for k_, v_, child_, _o in mp_link:
+        lasts, _zero = _variant_edge_hops(list(v_), front=False)
+        incoming_last.setdefault(child_, set()).update(lasts)
+    # zero-admitting link variants place the child at the PARENT's own
+    # focus, so the child also inherits the parent's arrival steps
+    changed = True
+    while changed:
+        changed = False
+        for k_, child_ in passthrough_links:
+            inc = incoming_last.setdefault(child_, set())
+            parent_inc = incoming_last.get(k_, set())
+            if not parent_inc <= inc:
+                inc.update(parent_inc)
+                changed = True
 
     def _reduces(key: str, ch: tuple) -> bool:
         for a, b in zip(ch, ch[1:]):
@@ -530,6 +745,19 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
                 return True
         return any(p == ch[0][0] and d != ch[0][1]
                    for p, d in incoming_last.get(key, ()))
+
+    def _variant_reduces(key: str, variant) -> bool:
+        """Conservative superset of ``_reduces`` over a segment
+        variant: any possibly-adjacent hop pair cancelling (incl.
+        inner-application wrap-arounds) or a possible first hop
+        cancelling an arrival step."""
+        if any(a[0] == b[0] and a[1] != b[1]
+               for a, b in _variant_adjacent_pairs(list(variant))):
+            return True
+        firsts, _zero = _variant_edge_hops(list(variant), front=True)
+        inc = incoming_last.get(key, ())
+        return any(p == f[0] and d != f[1]
+                   for p, d in inc for f in firsts)
 
     for k_, ch_ in multi_match:
         # closed shapes never gate -> reduction is harmless there
@@ -540,8 +768,15 @@ def compile_single_hop_links(shapes_graph: Optional[ShapesGraph],
         # would corrupt the child-pos last-step bookkeeping above
         if _reduces(k_, ch_):
             return None
+    for k_, v_, gated_ in mp_match:
+        if gated_ and _variant_reduces(k_, v_):
+            return None
+    for k_, v_, _c, _o in mp_link:
+        if _variant_reduces(k_, v_):
+            return None
     return (links, multi_match, multi_link,
-            f"{shape.kind}:{shape.value}", frozenset(closed_keys))
+            f"{shape.kind}:{shape.value}", frozenset(closed_keys),
+            mp_match, mp_link)
 
 
 def _anti(left: pd.DataFrame, right: pd.DataFrame, cols: List[str]) -> pd.DataFrame:
@@ -606,9 +841,21 @@ def _vec_extract_bucket(
     tq = tpdf.reset_index(drop=True)
     mdf = mpdf.reset_index(drop=True)
 
-    links, multi_match, multi_link, root_key, closed_keys = vec_plan
+    (links, multi_match, multi_link, root_key, closed_keys,
+     mp_match, mp_link) = vec_plan
+
+    def _variant_hops(v):
+        for seg in v:
+            if seg[0] == "chain":
+                yield from seg[1]
+            else:
+                for ch in seg[2]:
+                    yield from ch
+
     has_inv = any(h[1] for _, ch in multi_match for h in ch) or any(
-        h[1] for _, ch, _, _ in multi_link for h in ch)
+        h[1] for _, ch, _, _ in multi_link for h in ch) or any(
+        h[1] for k, v, _g in mp_match for h in _variant_hops(v)) or any(
+        h[1] for k, v, _c, _o in mp_link for h in _variant_hops(v))
 
     graph = tq["graph"] if "graph" in tq else pd.Series([None] * n, dtype="object")
     obj_vals = tq["object_value"]
@@ -798,6 +1045,8 @@ def _vec_extract_bucket(
         {l[0] for l in links} | {l[2] for l in links}
         | {m[0] for m in multi_match}
         | {m[0] for m in multi_link} | {m[2] for m in multi_link}
+        | {m[0] for m in mp_match}
+        | {m[0] for m in mp_link} | {m[2] for m in mp_link}
         | set(closed_keys)
         | ({root_key} if root_key is not None else set())
     )
@@ -838,6 +1087,24 @@ def _vec_extract_bucket(
         if (pids >= 0).all():
             ml_chains.append(
                 (sk_id[skey], pids, invs, sk_id[child], lorder))
+
+    def _hop_codes(ch):
+        return (plut.get_indexer([h[0] for h in ch]).astype(np.int64),
+                np.array([h[1] for h in ch], dtype=bool))
+
+    def _seg_codes(v):
+        # A hop whose predicate is absent from the bucket keeps code
+        # -1: the gather emits the reachable prefix, then truncates —
+        # the interpreter's per-application behaviour.
+        return [("chain",) + _hop_codes(seg[1]) if seg[0] == "chain"
+                else ("multi", seg[1], [_hop_codes(c) for c in seg[2]],
+                      seg[3])
+                for seg in v]
+
+    mpm_entries = [(sk_id[k], _seg_codes(v), gated)
+                   for k, v, gated in mp_match]
+    mpl_entries = [(sk_id[k], _seg_codes(v), sk_id[c], lo)
+                   for k, v, c, lo in mp_link]
 
     def blank_gated(mids: np.ndarray, nodes: np.ndarray,
                     pids: np.ndarray) -> np.ndarray:
@@ -890,6 +1157,8 @@ def _vec_extract_bucket(
         for depth, (pid, inv) in enumerate(zip(pids, invs)):
             if not len(nodes):
                 break
+            if pid < 0:  # predicate absent from bucket: truncate here
+                return (np.empty(0, np.int64),) * 2
             rows, own = (neigh_inv if inv else neigh)(nodes)
             if len(rows):
                 keep = pred_codes[rows] == pid
@@ -905,6 +1174,81 @@ def _vec_extract_bucket(
             mids = mids[own]
             nodes = snode[rows] if inv else onode[rows]
         return mids, nodes
+
+    def _dedup_mn(mids: np.ndarray, nodes: np.ndarray):
+        key = mids * NKEY + nodes
+        _, first = np.unique(key, return_index=True)
+        return mids[first], nodes[first]
+
+    def multipath_bfs(mids: np.ndarray, nodes: np.ndarray, chains,
+                      emit: bool, max_count):
+        """Repeated inner-chain applications from (mids, nodes):
+        multi-source BFS with a per-(member, node) visited set — the
+        member-level closure equals the union of the interpreter's
+        per-root closures (lib/Path.ts:212-287: per-root visited,
+        admit-but-don't-expand; results are SETS, so shared expansion
+        collects the same witness union and the same admitted-target
+        membership). Returns the >=1-application admitted targets,
+        dedup'd per (member, node); witness quads of every application
+        hop are emitted when ``emit`` (the interpreter's match collects
+        every hop, including truncated-application prefixes)."""
+        vis = _Vis()
+        cur_m, cur_n = _dedup_mn(mids, nodes)
+        vis.fresh_add(cur_m * NKEY + cur_n)
+        out_m: List[np.ndarray] = []
+        out_n: List[np.ndarray] = []
+        apps = 0
+        while len(cur_m):
+            if max_count is not None and apps >= max_count:
+                break
+            app_m: List[np.ndarray] = []
+            app_n: List[np.ndarray] = []
+            for pids, invs in chains:
+                tm, tn = chain_gather(cur_m, cur_n, pids, invs,
+                                      emit=emit, emit0=emit)
+                if len(tm):
+                    app_m.append(tm)
+                    app_n.append(tn)
+            if not app_m:
+                break
+            am, an = _dedup_mn(np.concatenate(app_m),
+                               np.concatenate(app_n))
+            # every reached node is ADMITTED (re-reached ones too:
+            # admit-but-don't-expand), only fresh ones expand further
+            out_m.append(am)
+            out_n.append(an)
+            key = am * NKEY + an
+            srt = np.argsort(key)
+            mask = vis.fresh_add(key[srt])
+            cur_m, cur_n = am[srt][mask], an[srt][mask]
+            apps += 1
+        if out_m:
+            return _dedup_mn(np.concatenate(out_m), np.concatenate(out_n))
+        return (np.empty(0, np.int64),) * 2
+
+    def walk_variant(mids: np.ndarray, nodes: np.ndarray, segments,
+                     emit: bool):
+        """Walk one segment variant (chains + multipaths) left to
+        right, the kernel analogue of the interpreter's SequencePath
+        fold; zero-admitting multipath kinds pass their origins
+        through alongside the BFS targets."""
+        cur_m, cur_n = mids, nodes
+        for seg in segments:
+            if not len(cur_m):
+                break
+            if seg[0] == "chain":
+                cur_m, cur_n = chain_gather(cur_m, cur_n, seg[1], seg[2],
+                                            emit=emit, emit0=emit)
+            else:
+                _tag, kind, chains, max_count = seg
+                tm, tn = multipath_bfs(cur_m, cur_n, chains, emit,
+                                       1 if kind == "?" else max_count)
+                if kind in ("*", "?"):  # zero applications admit origin
+                    tm = np.concatenate([cur_m, tm])
+                    tn = np.concatenate([cur_n, tn])
+                    tm, tn = _dedup_mn(tm, tn)
+                cur_m, cur_n = tm, tn
+        return cur_m, cur_n
 
     w_mid = np.arange(m, dtype=np.int64)
     w_node = mnode.copy()
@@ -934,7 +1278,8 @@ def _vec_extract_bucket(
                 run_cbd(w_mid[open_sel], w_node[open_sel])
         else:
             run_cbd(w_mid, w_node)
-        if not lmap and not mm_chains and not ml_chains:
+        if (not lmap and not mm_chains and not ml_chains
+                and not mpm_entries and not mpl_entries):
             break
         nxt_mid: List[np.ndarray] = []
         nxt_node: List[np.ndarray] = []
@@ -976,6 +1321,36 @@ def _vec_extract_bucket(
                 continue
             mids, nodes = chain_gather(w_mid[sel], w_node[sel], pids,
                                        invs, emit=False)
+            if len(mids):
+                nxt_mid.append(mids)
+                nxt_node.append(nodes)
+                nxt_skey.append(np.full(len(mids), cid, dtype=np.int64))
+                nxt_lorder.append(np.full(len(mids), lo, dtype=np.int64))
+        for sk, segs, gated in mpm_entries:
+            sel = w_skey == sk
+            if not sel.any():
+                continue
+            m_, n_ = w_mid[sel], w_node[sel]
+            if gated:
+                # whole-path '+' on an open shape: gated per focus iff
+                # ONE inner application is witnessed (OneOrMorePath
+                # .found, lib/Path.ts:321-333 — alternative inner =
+                # any option); only all-forward chains can be
+                # witnessed by CBD words.
+                g = np.zeros(len(m_), dtype=bool)
+                for pids, invs in segs[0][2]:
+                    if not invs.any():
+                        g |= blank_gated(m_, n_, pids)
+                m_, n_ = m_[~g], n_[~g]
+                if not len(m_):
+                    continue
+            walk_variant(m_, n_, segs, emit=True)
+        for sk, segs, cid, lo in mpl_entries:
+            sel = w_skey == sk
+            if not sel.any():
+                continue
+            mids, nodes = walk_variant(w_mid[sel], w_node[sel], segs,
+                                       emit=False)
             if len(mids):
                 nxt_mid.append(mids)
                 nxt_node.append(nodes)

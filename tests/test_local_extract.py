@@ -246,11 +246,21 @@ def test_vec_gate_accepts_chains_rejects_multipath():
     # double inverse cancels to a forward hop (closed shape -> emit0)
     dbl = compile_single_hop_links(sg, Term(IRI, EX + "DoubleInversePathShape"))
     assert dbl is not None and dbl[1][0][1][0][1] is False
-    # multipaths keep the per-member interpreter (per-root visited state)
-    assert compile_single_hop_links(
-        sg, Term(IRI, EX + "ZeroOrMorePathShape")) is None
-    assert compile_single_hop_links(
-        sg, Term(IRI, EX + "OneOrMorePathShape")) is None
+    # r3 third pass: multipaths vectorize (multi-source BFS); closed
+    # fixture shapes produce mp_match segment variants
+    zom = compile_single_hop_links(sg, Term(IRI, EX + "ZeroOrMorePathShape"))
+    assert zom is not None and len(zom[5]) == 1  # one mp_match variant
+    oom = compile_single_hop_links(sg, Term(IRI, EX + "OneOrMorePathShape"))
+    assert oom is not None and oom[5][0][1][0][0] == "multi"
+    # a multipath EMBEDDED in an open shape's match path keeps the
+    # per-member interpreter (fold-dependent found() semantics)
+    open_embed = ShapesGraph.from_quads(parse_trig("""
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:E a sh:NodeShape ;
+      sh:property [ sh:path (ex:p1 [ sh:zeroOrMorePath ex:p2 ]) ] .
+    """))
+    assert compile_single_hop_links(open_embed, Term(IRI, EX + "E")) is None
 
 
 def test_vec_gate_rejects_literal_focus_inverse_first_child():
@@ -279,6 +289,14 @@ def test_vec_gate_rejects_literal_focus_inverse_first_child():
     ("InversePathShape", "C"),
     ("DoubleInversePathShape", "B"),
     ("SequenceAndInversePathShape", "C"),
+    # r3 third pass: multipaths (multi-source BFS) on the closed
+    # fixture shapes, incl. multipaths embedded in sequences
+    ("ZeroOrMorePathShape", "A"),
+    ("ZeroOrMorePathShape", "B"),
+    ("OneOrMorePathShape", "A"),
+    ("ZeroOrOnePathShape", "A"),
+    ("ZeroOrMorePathShape2", "A"),
+    ("ZeroOrMorePathShape2", "B"),
 ])
 def test_vec_parity_forward_sequence_alternative(spark, shape, entity):
     """r3 kernel extension: forward sequences/alternatives run as
@@ -741,7 +759,7 @@ def test_vec_deep_chain_linear_growth():
                              "_m_entity": ["http://x/M"], "_m_kind": [IRI]})
         t0 = time.time()
         out = _vec_extract_bucket(tpdf, mpdf, "store_key",
-                                  ([], [], [], None, frozenset()),
+                                  ([], [], [], None, frozenset(), [], []),
                                   False, False, set(), OUT_COLS)
         assert len(out) == depth
         return time.time() - t0

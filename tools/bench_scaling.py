@@ -48,6 +48,7 @@ replicate = int(sys.argv[4])
 kbo_rep = {"extract_global": replicate,
            "extract_global_mat": replicate,
            "extract_global_ctrl": replicate,
+           "sparkjoin": replicate,
            "extract_local": replicate,
            # interpreter kernel is ~8x the CPU per quad: quarter corpus
            # keeps the cell wall-clock comparable
@@ -161,6 +162,25 @@ elif job == "pipeline":
     n = manifests["triples"]["rows"] + manifests["raw_triples"]["rows"]
     shutil.rmtree(wh, ignore_errors=True)
     out = dict(sec=sec, units=n)
+elif job == "sparkjoin":
+    # BARE-SPARK CONTROL: one shuffle_hash equi-join of the same KBO
+    # corpus (members x store on subject) with NO engine code at all —
+    # the scaling of Catalyst's own shuffle-join primitive on this
+    # host. The fixpoint engine's final action is a stack of exactly
+    # these joins, so its efficiency should be read against this row,
+    # not against 1.0.
+    triples, members = kbo_input(kbo_rep, with_store=False)
+    fr = members.select(
+        F.col("entity").alias("node"),
+        F.col("entity_kind").alias("node_kind"))
+    tt = triples
+    fr.limit(100).join(tt, fr.node == tt.subject).count()  # warm
+    t0 = time.time()
+    n = fr.hint("shuffle_hash").join(
+        tt,
+        (fr.node == tt.subject) & (fr.node_kind == tt.subject_kind),
+    ).count()
+    out = dict(sec=time.time() - t0, units=n)
 elif job == "minhash":
     from extract_cbd_shape_spark.operators.dedup import minhash_lsh_dups
     docs = spark.read.parquet(sf_dir + "/documents.parquet").select(
@@ -242,6 +262,9 @@ JOBS = [
     ("pipeline_ctrl",
      "KG pipeline e2e, codegen off (CPU-bound control) (triples/s)"),
     ("minhash", "MinHash-LSH dedup (docs/s)"),
+    ("sparkjoin",
+     "BARE-SPARK CONTROL: one shuffle_hash join, same corpus, no "
+     "engine code (rows/s)"),
     ("membus",
      "HOST CONTROL: numpy STREAM triad, N independent processes, "
      "no Spark/JVM (triads/s)"),
