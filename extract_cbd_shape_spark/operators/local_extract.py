@@ -1683,6 +1683,164 @@ def local_bulk_extract_prebucketed(
     return store.mapInArrow(runner, _projected_schema(cols))
 
 
+def _store_files(path: str) -> List[str]:
+    """All bucket data files of a ``materialize_store`` table."""
+    import os
+
+    files: List[str] = []
+    for root, _dirs, fns in os.walk(path):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                files.append(os.path.join(root, fn))
+    return sorted(files)
+
+
+def _file_manifest(spark: SparkSession, files: List[str]) -> DataFrame:
+    """One bucket file per task. Each ``materialize_store`` file is a
+    complete set of stores, so file granularity preserves the kernel's
+    store-completeness contract with no conf games (``read_store``'s
+    maxPartitionBytes clone becomes unnecessary on this path).
+
+    Built as a parallelized RDD with one path per slice — no Exchange
+    anywhere in the plan (a ``repartition`` would insert a RoundRobin
+    exchange, harmless over 256 strings but breaking the engine's
+    zero-Exchange plan contract)."""
+    rdd = spark.sparkContext.parallelize(
+        [(p,) for p in files], max(1, len(files)))
+    return spark.createDataFrame(rdd, "path string")
+
+
+def local_bulk_extract_files(
+    spark: SparkSession,
+    store_path: str,
+    shapes_graph: Optional[ShapesGraph] = None,
+    shape: Optional[Term] = None,
+    store_col: str = "store_key",
+    bulk: bool = True,
+    cbd_default_graph: bool = False,
+    graphs_to_ignore: Sequence[Term] = (),
+    vectorize: bool = True,
+    members_from_subjects: bool = False,
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Zero-shuffle extraction with a PYTHON-NATIVE scan: the job's rows
+    are bucket FILE PATHS; each task opens its complete bucket parquet
+    file with pyarrow inside the Python worker and runs the kernel on
+    the mmapped Arrow buffers directly.
+
+    Motivation (measured, BENCH_LAYERS.md): the extraction kernel's
+    numpy work scales ~0.97 as independent processes, but routing the
+    same bytes JVM-scan -> Arrow IPC -> Python anti-scales on a shared
+    memory bus — a pass-through ``mapInArrow`` costs 2x the kernel
+    itself. Reading the parquet in the worker eliminates the input leg
+    entirely; only the (much smaller, projected) RESULT crosses back to
+    the JVM. Spark still owns scheduling, task retries, speculative
+    execution, and downstream composition — the same division of labor
+    as Spark's Python Data Source API (pyspark 4
+    ``spark.dataSource``), expressed with ``mapInArrow`` so the plan
+    stays a plain DataFrame.
+
+    At 100 TB the pattern holds: the manifest is the Iceberg scan-file
+    list (planned driver-side, tiny), tasks read data files via the
+    table FileIO, and no executor JVM materializes quad bytes.
+    Semantics are identical to ``local_bulk_extract_prebucketed``
+    (parity-tested); only the scan's physical path differs."""
+    vec_plan = compile_single_hop_links(
+        shapes_graph, shape, cbd_default_graph) if vectorize else None
+    cols = list(columns) if columns is not None else OUT_COLS
+    runner = _make_runner(
+        vec_plan, shapes_graph, shape,
+        tuple((g.kind, g.value) for g in graphs_to_ignore),
+        bulk, cbd_default_graph, store_col, members_from_subjects, cols,
+    )
+
+    def file_runner(batches) -> "Iterable":
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for p in b.column("path").to_pylist():
+                yield from runner(pq.read_table(p).to_batches())
+
+    paths = _file_manifest(spark, _store_files(store_path))
+    return paths.mapInArrow(file_runner, _projected_schema(cols))
+
+
+def extract_store_files_to_store(
+    spark: SparkSession,
+    store_path: str,
+    out_path: str,
+    shapes_graph: Optional[ShapesGraph] = None,
+    shape: Optional[Term] = None,
+    store_col: str = "store_key",
+    bulk: bool = True,
+    cbd_default_graph: bool = False,
+    graphs_to_ignore: Sequence[Term] = (),
+    vectorize: bool = True,
+    members_from_subjects: bool = False,
+    columns: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Sink-fused extraction: read bucket parquet -> kernel -> WRITE
+    output parquet, all inside the Python worker. The executor JVM never
+    touches a quad byte in either direction — Spark contributes
+    scheduling, retries, and the returned per-file lineage manifest
+    ``(src, file, rows)``.
+
+    This is the materialization path a 100 TB extraction actually runs
+    (extract once, land a new table): the input manifest is the ingest
+    table's file list, each task writes its bucket's result file, and
+    the output inherits the input's store-hash layout (result rows of a
+    bucket stay in that bucket — extraction only emits quads of stores
+    seeded in the same bucket), so downstream extractions over the
+    result need no re-bucketing. Writes go to a temp name then
+    ``os.replace`` so a retried task can never leave a torn file; on a
+    production object store the same contract comes from the Iceberg
+    commit protocol (``sinks/materialize.py``).
+
+    Returns the manifest DataFrame (cheap — one row per bucket);
+    callers count/aggregate it without moving quads through the JVM."""
+    import os
+
+    os.makedirs(out_path, exist_ok=True)
+    vec_plan = compile_single_hop_links(
+        shapes_graph, shape, cbd_default_graph) if vectorize else None
+    cols = list(columns) if columns is not None else OUT_COLS
+    runner = _make_runner(
+        vec_plan, shapes_graph, shape,
+        tuple((g.kind, g.value) for g in graphs_to_ignore),
+        bulk, cbd_default_graph, store_col, members_from_subjects, cols,
+    )
+
+    def sink_runner(batches) -> "Iterable":
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for p in b.column("path").to_pylist():
+                out_batches = list(runner(pq.read_table(p).to_batches()))
+                dest = None
+                rows = 0
+                if out_batches:
+                    tbl = pa.Table.from_batches(out_batches)
+                    rows = tbl.num_rows
+                    dest = os.path.join(out_path, os.path.basename(p))
+                    tmp = dest + "." + uuid.uuid4().hex + ".tmp"
+                    pq.write_table(tbl, tmp)
+                    os.replace(tmp, dest)
+                yield pa.RecordBatch.from_pydict(
+                    {"src": [p], "file": [dest], "rows": [rows]},
+                    schema=pa.schema([
+                        pa.field("src", pa.string()),
+                        pa.field("file", pa.string()),
+                        pa.field("rows", pa.int64()),
+                    ]),
+                )
+
+    paths = _file_manifest(spark, _store_files(store_path))
+    return paths.mapInArrow(sink_runner, "src string, file string, rows long")
+
+
 def local_bulk_extract(
     triples: DataFrame,
     members: DataFrame,

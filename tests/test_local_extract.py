@@ -688,6 +688,54 @@ def test_prebucketed_store_parity(spark, tmp_path):
     assert p2set == bset
 
 
+def test_file_scan_and_sink_fused_parity(spark, tmp_path):
+    """The python-native scan (local_bulk_extract_files) and the
+    sink-fused variant (extract_store_files_to_store) must produce the
+    exact quad set of the shuffling engine — the JVM-free data path is
+    a physical strategy, not a semantics change (BENCH_LAYERS.md)."""
+    from extract_cbd_shape_spark.operators.kgtriples import (
+        KBO_SHAPE_IRI, KBO_SHAPE_TTL, kbo_members)
+    from extract_cbd_shape_spark.operators.local_extract import (
+        extract_store_files_to_store, local_bulk_extract_files,
+        materialize_store)
+
+    triples, members = kbo_members(spark, "/root/testdata/sf0.001")
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    shape = Term(IRI, KBO_SHAPE_IRI)
+    t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
+    m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    cols = ["entity", "subject", "predicate", "object_value"]
+    base = local_bulk_extract(t2, m2, shapes_graph=shapes, shape=shape)
+    bset = {tuple(r) for r in base.select(*cols).collect()}
+
+    store_path = materialize_store(t2, m2, str(tmp_path / "store"),
+                                   n_buckets=8)
+    fs = local_bulk_extract_files(
+        spark, store_path, shapes_graph=shapes, shape=shape)
+    plan = fs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    fset = {tuple(r) for r in fs.select(*cols).collect()}
+    assert fset == bset and len(fset) > 0
+
+    # interpreter kernel over the same file manifest
+    fs_i = local_bulk_extract_files(
+        spark, store_path, shapes_graph=shapes, shape=shape,
+        vectorize=False)
+    assert {tuple(r) for r in fs_i.select(*cols).collect()} == bset
+
+    # sink-fused: manifest counts match, landed files re-read to the
+    # same set, and a re-run (simulated task retry) is idempotent
+    out = str(tmp_path / "extracted")
+    for _ in range(2):
+        manifest = extract_store_files_to_store(
+            spark, store_path, out, shapes_graph=shapes, shape=shape)
+        rows = manifest.collect()
+        assert sum(r["rows"] for r in rows) == fs.count()
+        assert len(rows) == 8
+        landed = spark.read.parquet(out)
+        assert {tuple(r) for r in landed.select(*cols).collect()} == bset
+
+
 def test_read_store_does_not_mutate_session_conf(spark, tmp_path):
     """read_store's no-split guard must stay scoped to its own cloned
     session — the caller's maxPartitionBytes is untouched (ADVICE r2)."""
