@@ -291,6 +291,44 @@ def _q_kbo_bulk_extract_store(spark, sf_dir):
     )
 
 
+def _q_kbo_bulk_extract_filescan(spark, sf_dir):
+    """Same extraction and oracle as kbo_bulk_extract_store, but with
+    the PYTHON-NATIVE scan (local_bulk_extract_files): tasks read their
+    complete bucket parquet files directly with pyarrow inside the
+    worker, so the JVM never materializes input quad bytes — the layer
+    profile (BENCH_LAYERS.md) showed the JVM->Arrow->Python boundary
+    costs 2x the extraction kernel itself and anti-scales on the shared
+    memory bus. This is the engine's throughput flagship."""
+    import hashlib
+    import os
+
+    from extract_cbd_shape_spark.operators.local_extract import (
+        local_bulk_extract_files,
+        materialize_store,
+    )
+
+    key = hashlib.md5(f"{sf_dir}:{_STORE_LAYOUT_V}".encode()).hexdigest()[:10]
+    cache_root = os.environ.get(
+        "SPARK_GRAFT_STORE_CACHE",
+        "/dev/shm/kbo_store_cache"
+        if os.path.isdir("/dev/shm") else "/tmp/kbo_store_cache",
+    )
+    path = os.path.join(cache_root, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        triples, members = kbo_members(spark, sf_dir)
+        t2, m2 = with_store_key(triples, members)
+        materialize_store(t2, m2, path)
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    return local_bulk_extract_files(
+        spark, path,
+        shapes_graph=shapes,
+        shape=Term(IRI, KBO_SHAPE_IRI),
+        # output projected inside the kernel AND input column chunks
+        # pruned at the pyarrow read (lang/datatype never traversed)
+        columns=["entity", "subject", "predicate", "object_value"],
+    )
+
+
 def _q_path_closure(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
@@ -773,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kbo_bulk_extract_inverse": _q_kbo_bulk_extract_inverse,
         "kbo_bulk_extract_local_inv": _q_kbo_bulk_extract_local_inv,
         "kbo_bulk_extract_store": _q_kbo_bulk_extract_store,
+        "kbo_bulk_extract_filescan": _q_kbo_bulk_extract_filescan,
         "path_closure": _q_path_closure,
         "q1_pricing": _q_q1_pricing,
         "q3_revenue": _q_q3_revenue,
@@ -1597,4 +1636,7 @@ FROM documents
     # store-local inverse extraction: identical expected quad set as the
     # global-engine inverse query (same corpus, same shape)
     out["kbo_bulk_extract_local_inv"] = out["kbo_bulk_extract_inverse"]
+    # python-native file scan: same extraction and expected quads as the
+    # JVM-scan prebucketed engine (only the scan's physical path differs)
+    out["kbo_bulk_extract_filescan"] = out["kbo_bulk_extract_store"]
     return out

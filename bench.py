@@ -118,7 +118,8 @@ def run_suite(spark, sf_dir: str) -> dict:
         "kbo_bulk_extract_local",  # store-local fast path (one shuffle)
         "kbo_bulk_extract_local_inv",  # + inverse path (object-sorted CSR)
         "kbo_bulk_extract_local_ext",  # + sequence/alternative chains
-        "kbo_bulk_extract_store",  # pre-bucketed store, ZERO shuffle (flagship)
+        "kbo_bulk_extract_store",  # pre-bucketed store, ZERO shuffle, JVM scan
+        "kbo_bulk_extract_filescan",  # + python-native scan (flagship)
         "shape_extract_order",   # engine: CBD + blank closure + nodeLinks
         "path_closure",          # iterative transitive closure
         "minhash_lsh_dups",      # shingle -> minhash -> LSH -> verify
@@ -130,7 +131,8 @@ def run_suite(spark, sf_dir: str) -> dict:
     # Warm the JVM/codegen paths on sf0.001 so the timings below are
     # steady-state (the reference's perf harness also excludes warm-up).
     for name in ("kbo_bulk_extract", "kbo_bulk_extract_local",
-                 "kbo_bulk_extract_store", "minhash_lsh_dups"):
+                 "kbo_bulk_extract_store", "kbo_bulk_extract_filescan",
+                 "minhash_lsh_dups"):
         q[name](spark, "/root/testdata/sf0.001").count()
 
     timings = {}
@@ -195,10 +197,16 @@ def run_suite(spark, sf_dir: str) -> dict:
         "pipeline_sec": pipeline_sec,
         "store_ingest_sec": ingest_sec,
         # flagship = zero-shuffle extraction over the pre-bucketed
-        # store (the 100 TB steady state: bucket once at ingest, then
-        # every extraction is scan -> kernel -> sink); the one-shuffle
-        # store-local and the global fixpoint engines alongside.
+        # store with the python-native file scan (the 100 TB steady
+        # state: bucket once at ingest, then every extraction is
+        # worker-side read -> kernel -> sink, no quad bytes through the
+        # JVM); JVM-scan, one-shuffle store-local, and global fixpoint
+        # engines alongside.
         "extract_quads_per_sec": round(
+            counts["kbo_bulk_extract_filescan"]
+            / max(timings["kbo_bulk_extract_filescan"], 1e-9), 1
+        ),
+        "extract_quads_per_sec_jvmscan": round(
             counts["kbo_bulk_extract_store"]
             / max(timings["kbo_bulk_extract_store"], 1e-9), 1
         ),
@@ -236,6 +244,7 @@ def main():
             out["pipeline_triples"] / max(out["pipeline_sec"], 1e-9), 1
         ),
         "extract_quads_per_sec": out["extract_quads_per_sec"],
+        "extract_quads_per_sec_jvmscan": out["extract_quads_per_sec_jvmscan"],
         "extract_quads_per_sec_global": out["extract_quads_per_sec_global"],
         "store_ingest_sec": out["store_ingest_sec"],
         "wall_total_sec": total,

@@ -1710,6 +1710,20 @@ def _file_manifest(spark: SparkSession, files: List[str]) -> DataFrame:
     return spark.createDataFrame(rdd, "path string")
 
 
+def _store_read_columns(
+    store_col: str, columns: Optional[Sequence[str]]
+) -> Optional[List[str]]:
+    """Column projection for the python-native parquet read — the
+    file-scan twin of the JVM path's ``.drop('object_lang',
+    'object_datatype')`` pushdown: the kernel never traverses literal
+    lang/datatype, so when the caller's output projection omits them the
+    reader skips their column chunks entirely."""
+    if columns is None or {"object_lang", "object_datatype"} & set(columns):
+        return None
+    return [store_col, "subject", "subject_kind", "predicate",
+            "object_value", "object_kind", "graph", "graph_kind"]
+
+
 def local_bulk_extract_files(
     spark: SparkSession,
     store_path: str,
@@ -1754,12 +1768,15 @@ def local_bulk_extract_files(
         bulk, cbd_default_graph, store_col, members_from_subjects, cols,
     )
 
+    read_cols = _store_read_columns(store_col, columns)
+
     def file_runner(batches) -> "Iterable":
         import pyarrow.parquet as pq
 
         for b in batches:
             for p in b.column("path").to_pylist():
-                yield from runner(pq.read_table(p).to_batches())
+                yield from runner(
+                    pq.read_table(p, columns=read_cols).to_batches())
 
     paths = _file_manifest(spark, _store_files(store_path))
     return paths.mapInArrow(file_runner, _projected_schema(cols))
@@ -1810,6 +1827,8 @@ def extract_store_files_to_store(
         bulk, cbd_default_graph, store_col, members_from_subjects, cols,
     )
 
+    read_cols = _store_read_columns(store_col, columns)
+
     def sink_runner(batches) -> "Iterable":
         import uuid
 
@@ -1818,7 +1837,8 @@ def extract_store_files_to_store(
 
         for b in batches:
             for p in b.column("path").to_pylist():
-                out_batches = list(runner(pq.read_table(p).to_batches()))
+                out_batches = list(runner(
+                    pq.read_table(p, columns=read_cols).to_batches()))
                 dest = None
                 rows = 0
                 if out_batches:

@@ -119,6 +119,32 @@ if job in ("extract_global", "extract_global_mat"):
         store_distinct=True)
     n = ex.extract(triples, members, shape=shape)[0].count()
     out = dict(sec=time.time() - t0, units=n)
+elif job in ("extract_files", "extract_sink"):
+    # Python-native scan paths (BENCH_LAYERS.md): tasks read their
+    # complete bucket parquet with pyarrow inside the worker; for
+    # extract_sink the result parquet is written worker-side too, so
+    # no quad bytes cross the JVM in either direction.
+    from extract_cbd_shape_spark.operators.local_extract import (
+        extract_store_files_to_store, local_bulk_extract_files,
+        materialize_store)
+    wt, wm = kbo_members(spark, "/root/testdata/sf0.001")
+    wt, wm = with_store_key(wt, wm)
+    wsp = materialize_store(wt, wm, work + "/wstore")
+    local_bulk_extract_files(
+        spark, wsp, shapes_graph=shapes, shape=shape).count()  # warm
+    tl, ml = kbo_members(spark, sf_dir, replicate=kbo_rep)
+    tl, ml = with_store_key(tl, ml)
+    sp = materialize_store(tl, ml, work + "/store", n_buckets=256)
+    if job == "extract_files":
+        t0 = time.time()
+        n = local_bulk_extract_files(
+            spark, sp, shapes_graph=shapes, shape=shape).count()
+    else:
+        t0 = time.time()
+        n = extract_store_files_to_store(
+            spark, sp, work + "/out", shapes_graph=shapes, shape=shape,
+        ).agg(F.sum("rows")).collect()[0][0]
+    out = dict(sec=time.time() - t0, units=n)
 elif job in ("extract_local", "extract_local_interp"):
     vectorize = job == "extract_local"
     from extract_cbd_shape_spark.operators.local_extract import (
@@ -258,6 +284,12 @@ JOBS = [
      "bulk shape extraction, pre-bucketed store, zero-shuffle (quads/s)"),
     ("extract_local_interp",
      "same dataflow, interpreter kernel (CPU-bound control) (quads/s)"),
+    ("extract_files",
+     "pre-bucketed store, python-native scan (worker-side pyarrow "
+     "read) (quads/s)"),
+    ("extract_sink",
+     "pre-bucketed store, sink-fused (worker-side read AND write; no "
+     "quad bytes through the JVM) (quads/s)"),
     ("pipeline", "KG pipeline e2e (triples/s)"),
     ("pipeline_ctrl",
      "KG pipeline e2e, codegen off (CPU-bound control) (triples/s)"),
@@ -282,7 +314,8 @@ JOBS = [
 # the OS give the rest to the workers. JVM-heavy jobs (fixpoint engine,
 # pipeline, minhash) keep the per-core heap model from bench.build_spark
 # (N -> 4N executors brings 4x heap on a cluster).
-KERNEL_JOBS = {"extract_local", "extract_local_interp"}
+KERNEL_JOBS = {"extract_local", "extract_local_interp", "extract_files",
+               "extract_sink"}
 
 
 def _run_once(job: str, cpus: int) -> dict:
