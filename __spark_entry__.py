@@ -288,6 +288,8 @@ def _q_kbo_bulk_extract_store(spark, sf_dir):
         shapes_graph=shapes,
         shape=Term(IRI, KBO_SHAPE_IRI),
         columns=["entity", "subject", "predicate", "object_value"],
+        # synthesized KBO corpus is duplicate-free by construction
+        store_distinct=True,
     )
 
 
@@ -326,6 +328,8 @@ def _q_kbo_bulk_extract_filescan(spark, sf_dir):
         # output projected inside the kernel AND input column chunks
         # pruned at the pyarrow read (lang/datatype never traversed)
         columns=["entity", "subject", "predicate", "object_value"],
+        # synthesized KBO corpus is duplicate-free by construction
+        store_distinct=True,
     )
 
 

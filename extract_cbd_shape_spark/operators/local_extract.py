@@ -1457,6 +1457,8 @@ def _make_runner(
     store_col: str,
     members_from_subjects: bool,
     cols: List[str],
+    exclude_stores: frozenset = frozenset(),
+    store_distinct: bool = False,
 ):
     """Build the mapInArrow partition function. ``members_from_subjects``
     derives the member set per store inside the kernel (every distinct
@@ -1491,6 +1493,12 @@ def _make_runner(
         pdf = pa.Table.from_batches(arrs).to_pandas(
             types_mapper=pd.ArrowDtype
         )
+        if exclude_stores:
+            # giant-store routing (skew guard): excluded stores are
+            # served by the global fixpoint engine; the kernel drops
+            # their rows here so a bucket containing a giant still
+            # extracts its normal stores
+            pdf = pdf[~pdf[store_col].isin(exclude_stores)]
         if members_from_subjects:
             tpdf = pdf[pdf["predicate"].notna()]
             subj = tpdf[tpdf["subject_kind"] == IRI]
@@ -1509,6 +1517,20 @@ def _make_runner(
             tpdf = pdf[~is_member]
         if mpdf.empty or tpdf.empty:
             return
+        if vec_plan is not None and not store_distinct:
+            # Reference uniqueQuads semantics (lib/Utils.ts:44-64): a
+            # duplicated store quad must appear once per extraction.
+            # The interpreter dedups its own output; the CSR kernel
+            # emits gathered input rows, so dedup the input per store
+            # here. store_distinct=True is the caller's contract that
+            # the corpus is duplicate-free (e.g. any materialize_table
+            # snapshot) and skips the pass.
+            tpdf = tpdf.drop_duplicates(
+                [c for c in (store_col, "subject", "subject_kind",
+                             "predicate", "object_value", "object_kind",
+                             "object_lang", "object_datatype", "graph",
+                             "graph_kind") if c in tpdf]
+            )
         if vec_plan is not None:
             yield from _emit(_vec_extract_bucket(
                 tpdf, mpdf, store_col, vec_plan, bulk,
@@ -1650,6 +1672,7 @@ def local_bulk_extract_prebucketed(
     vectorize: bool = True,
     members_from_subjects: bool = False,
     columns: Optional[Sequence[str]] = None,
+    store_distinct: bool = False,
 ) -> DataFrame:
     """Zero-shuffle extraction over a pre-bucketed store.
 
@@ -1679,6 +1702,7 @@ def local_bulk_extract_prebucketed(
         vec_plan, shapes_graph, shape,
         tuple((g.kind, g.value) for g in graphs_to_ignore),
         bulk, cbd_default_graph, store_col, members_from_subjects, cols,
+        store_distinct=store_distinct,
     )
     return store.mapInArrow(runner, _projected_schema(cols))
 
@@ -1736,6 +1760,8 @@ def local_bulk_extract_files(
     vectorize: bool = True,
     members_from_subjects: bool = False,
     columns: Optional[Sequence[str]] = None,
+    exclude_stores: Sequence[str] = (),
+    store_distinct: bool = False,
 ) -> DataFrame:
     """Zero-shuffle extraction with a PYTHON-NATIVE scan: the job's rows
     are bucket FILE PATHS; each task opens its complete bucket parquet
@@ -1766,6 +1792,8 @@ def local_bulk_extract_files(
         vec_plan, shapes_graph, shape,
         tuple((g.kind, g.value) for g in graphs_to_ignore),
         bulk, cbd_default_graph, store_col, members_from_subjects, cols,
+        exclude_stores=frozenset(exclude_stores),
+        store_distinct=store_distinct,
     )
 
     read_cols = _store_read_columns(store_col, columns)
@@ -1795,6 +1823,8 @@ def extract_store_files_to_store(
     vectorize: bool = True,
     members_from_subjects: bool = False,
     columns: Optional[Sequence[str]] = None,
+    exclude_stores: Sequence[str] = (),
+    store_distinct: bool = False,
 ) -> DataFrame:
     """Sink-fused extraction: read bucket parquet -> kernel -> WRITE
     output parquet, all inside the Python worker. The executor JVM never
@@ -1825,9 +1855,12 @@ def extract_store_files_to_store(
         vec_plan, shapes_graph, shape,
         tuple((g.kind, g.value) for g in graphs_to_ignore),
         bulk, cbd_default_graph, store_col, members_from_subjects, cols,
+        exclude_stores=frozenset(exclude_stores),
+        store_distinct=store_distinct,
     )
 
     read_cols = _store_read_columns(store_col, columns)
+    store_root = os.path.abspath(store_path)
 
     def sink_runner(batches) -> "Iterable":
         import uuid
@@ -1844,7 +1877,15 @@ def extract_store_files_to_store(
                 if out_batches:
                     tbl = pa.Table.from_batches(out_batches)
                     rows = tbl.num_rows
-                    dest = os.path.join(out_path, os.path.basename(p))
+                    # deterministic per-SOURCE-FILE name (retry lands the
+                    # same name, a second source file never collides):
+                    # Spark reuses part-NNNNN basenames across hive
+                    # partition dirs (bucket=15/part-00029 and
+                    # bucket=19/part-00029 coexist), so flatten the
+                    # path relative to the store root into the name.
+                    rel = os.path.relpath(os.path.abspath(p), store_root)
+                    dest = os.path.join(
+                        out_path, rel.replace(os.sep, "--"))
                     tmp = dest + "." + uuid.uuid4().hex + ".tmp"
                     pq.write_table(tbl, tmp)
                     os.replace(tmp, dest)
@@ -1874,6 +1915,7 @@ def local_bulk_extract(
     vectorize: bool = True,
     giant_store_threshold: Optional[int] = None,
     columns: Optional[Sequence[str]] = None,
+    store_distinct: bool = False,
 ) -> DataFrame:
     """Distributed wrapper: one shuffle by ``store_col``, then per-store
     extraction in applyInPandas (cogrouped with the member seeds).
@@ -1916,7 +1958,7 @@ def local_bulk_extract(
                     members.filter(~F.col(store_col).isin(giants)),
                     shapes_graph, shape, store_col, bulk,
                     cbd_default_graph, n_buckets, graphs_to_ignore,
-                    vectorize, None, columns,
+                    vectorize, None, columns, store_distinct,
                 )
             ]
             ex = BulkCBDShapeExtractor(
@@ -1970,5 +2012,6 @@ def local_bulk_extract(
         vec_plan, shapes_graph, shape,
         tuple((g.kind, g.value) for g in graphs_to_ignore),
         bulk, cbd_default_graph, store_col, False, cols,
+        store_distinct=store_distinct,
     )
     return combined.mapInArrow(runner, _projected_schema(cols))

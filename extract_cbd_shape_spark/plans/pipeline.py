@@ -25,6 +25,8 @@ from extract_cbd_shape_spark.operators.extract import BulkCBDShapeExtractor, Mem
 from extract_cbd_shape_spark.operators.linking import link_mentions
 from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
 from extract_cbd_shape_spark.sinks.materialize import (
+    begin_snapshot,
+    commit_snapshot,
     latest_manifest,
     materialize_table,
     read_latest_snapshot,
@@ -60,6 +62,89 @@ class KGConstructionPipeline:
     def _stage_done(self, name: str, stage: str) -> bool:
         m = latest_manifest(self._table(name))
         return m is not None and m["stage"] == stage
+
+    def _extract_entities_sink(self, raw_manifest: dict) -> dict:
+        """Stage-2 sink-fused extraction over a store-complete
+        raw_triples snapshot: worker-side pyarrow read -> CSR kernel ->
+        worker-side parquet write into the next entity_triples snapshot
+        (begin/commit — a crash before commit leaves no manifest and
+        the retry overwrites via deterministic names). Giant pages
+        (ingest-time manifest ``giant_stores``) are excluded in the
+        kernel and served by the global fixpoint engine, landing in the
+        same snapshot under deterministic ``giant-*`` names."""
+        import pyarrow.parquet as pq
+
+        from extract_cbd_shape_spark.operators.local_extract import (
+            extract_store_files_to_store,
+            local_bulk_extract,
+        )
+        from extract_cbd_shape_spark.sinks.materialize import (
+            latest_snapshot_path,
+        )
+
+        spark = self.spark
+        src = latest_snapshot_path(self._table("raw_triples"))
+        giants = raw_manifest.get("giant_stores")
+        if giants is None:  # pre-threshold snapshot layout: one scan
+            giants = [
+                r[0] for r in spark.read.parquet(src).groupBy("page_url")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > GIANT_PAGE_QUADS).collect()
+            ]
+        snap_dir = begin_snapshot(self._table("entity_triples"))
+        data_dir = os.path.join(snap_dir, "data")
+        mrows = extract_store_files_to_store(
+            spark, src, data_dir,
+            shapes_graph=self.shapes_graph, shape=self.shape,
+            store_col="page_url", members_from_subjects=True,
+            exclude_stores=giants,
+        ).collect()  # tiny: one lineage row per bucket file
+        rows = sum(r["rows"] for r in mrows)
+        partitions = [
+            {"src": r["src"], "file": r["file"], "rows": r["rows"]}
+            for r in mrows
+        ]
+        for fn in os.listdir(data_dir):  # stale giants from a crashed try
+            if fn.startswith("giant-"):
+                os.remove(os.path.join(data_dir, fn))
+        if giants:
+            store = spark.read.parquet(src).drop("bucket").withColumnRenamed(
+                "page_url", "store_key")
+            gq = store.filter(F.col("store_key").isin(giants))
+            subjects = gq.filter(F.col("subject_kind") == IRI).select(
+                "store_key", F.col("subject").alias("entity"),
+                F.col("subject_kind").alias("entity_kind")).distinct()
+            gres = local_bulk_extract(
+                gq, subjects, shapes_graph=self.shapes_graph,
+                shape=self.shape,
+                giant_store_threshold=GIANT_PAGE_QUADS - 1,
+            ).select(
+                "entity", "subject", "subject_kind", "predicate",
+                "object_value", "object_kind", "object_lang",
+                "object_datatype", "graph", "graph_kind",
+            )
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix="giants_", dir=self.warehouse)
+            try:
+                gres.write.mode("overwrite").parquet(tmp)
+                for i, fn in enumerate(sorted(
+                        f for f in os.listdir(tmp)
+                        if f.endswith(".parquet"))):
+                    dest = os.path.join(data_dir, f"giant-{i:04d}.parquet")
+                    os.replace(os.path.join(tmp, fn), dest)
+                    n = pq.read_metadata(dest).num_rows
+                    rows += n
+                    partitions.append(
+                        {"src": "giant_stores", "file": dest, "rows": n})
+            finally:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        return commit_snapshot(
+            snap_dir, "extract_entities", rows, partitions,
+            giant_stores=giants,
+        )
 
     def run(self, pages: DataFrame, resume: bool = True) -> Dict[str, dict]:
         spark = self.spark
@@ -104,53 +189,26 @@ class KGConstructionPipeline:
             # (collecting 10^12-scale subject lists to the driver is the
             # one thing this pipeline must never do).
             ex = None
+            results = None
             if self.local_extraction:
                 from extract_cbd_shape_spark.operators.local_extract import (
                     local_bulk_extract,
-                    local_bulk_extract_prebucketed,
-                    read_store,
-                )
-                from extract_cbd_shape_spark.sinks.materialize import (
-                    latest_snapshot_path,
                 )
 
                 m = latest_manifest(self._table("raw_triples"))
                 if m and m.get("store_complete") and m.get("bucket_by") == "page_url":
-                    # Zero-shuffle path: the snapshot is store-complete
-                    # per bucket file, read_store never splits a file,
-                    # and member seeds (distinct IRI subjects per page)
-                    # are derived inside the kernel — stage 2 is
-                    # scan -> Arrow kernel -> sink, no exchange at all.
-                    # Skew guard: giant pages were identified at ingest
-                    # (manifest giant_stores) — no extra pass here.
-                    store = read_store(
-                        spark, latest_snapshot_path(self._table("raw_triples"))
-                    ).drop("bucket").withColumnRenamed("page_url", "store_key")
-                    giants = m.get("giant_stores")
-                    if giants is None:  # pre-threshold snapshot layout
-                        giants = [
-                            r[0] for r in store.groupBy("store_key")
-                            .agg(F.count(F.lit(1)).alias("_n"))
-                            .filter(F.col("_n") > GIANT_PAGE_QUADS).collect()
-                        ]
-                    rest = store
-                    if giants:
-                        rest = store.filter(~F.col("store_key").isin(giants))
-                    results = local_bulk_extract_prebucketed(
-                        rest, shapes_graph=self.shapes_graph,
-                        shape=self.shape, members_from_subjects=True,
-                    )
-                    if giants:
-                        gq = store.filter(F.col("store_key").isin(giants))
-                        subjects = gq.filter(
-                            F.col("subject_kind") == IRI
-                        ).select("store_key", F.col("subject").alias("entity")
-                                 ).distinct()
-                        results = results.unionByName(local_bulk_extract(
-                            gq, subjects, shapes_graph=self.shapes_graph,
-                            shape=self.shape,
-                            giant_store_threshold=GIANT_PAGE_QUADS - 1,
-                        ))
+                    # Sink-fused zero-shuffle path: the snapshot is
+                    # store-complete per bucket file; each task reads
+                    # its bucket parquet with pyarrow in the worker,
+                    # extracts (member seeds = distinct IRI subjects
+                    # per page, derived inside the kernel), and writes
+                    # its result file into the next entity_triples
+                    # snapshot — no quad bytes through the JVM, no
+                    # exchange (BENCH_LAYERS.md). Skew guard: giant
+                    # pages were identified at ingest (manifest
+                    # giant_stores) and route to the global engine.
+                    manifests["entity_triples"] = (
+                        self._extract_entities_sink(m))
                 else:
                     # resumed from a pre-store-complete snapshot layout
                     t2 = raw.drop("bucket").withColumnRenamed(
@@ -177,14 +235,16 @@ class KGConstructionPipeline:
                     raw.drop("page_url", "bucket"), subjects,
                     shape=self.shape, bulk=True,
                 )
-            entity_triples = results.select(
-                "entity", "subject", "subject_kind", "predicate",
-                "object_value", "object_kind", "object_lang",
-                "object_datatype", "graph", "graph_kind",
-            )
-            manifests["entity_triples"] = materialize_table(
-                entity_triples, self._table("entity_triples"), "extract_entities"
-            )
+            if results is not None:
+                entity_triples = results.select(
+                    "entity", "subject", "subject_kind", "predicate",
+                    "object_value", "object_kind", "object_lang",
+                    "object_datatype", "graph", "graph_kind",
+                )
+                manifests["entity_triples"] = materialize_table(
+                    entity_triples, self._table("entity_triples"),
+                    "extract_entities",
+                )
             if ex is not None:
                 # stage output is materialized — drop the run's cached
                 # store copies before the next stage claims memory

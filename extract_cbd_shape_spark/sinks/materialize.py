@@ -144,6 +144,46 @@ def materialize_table(
     return manifest
 
 
+def begin_snapshot(path: str) -> str:
+    """Reserve the next snapshot directory of the table at ``path``
+    for a writer that lands data files itself (the sink-fused
+    extraction). Uncommitted leftovers from a crashed attempt are
+    invisible to readers (no manifest) and are simply overwritten —
+    file writers must use deterministic names + atomic replace
+    (``extract_store_files_to_store`` does)."""
+    snaps = _snapshots(path)
+    snap_dir = os.path.join(path, f"snap-{len(snaps):04d}")
+    os.makedirs(os.path.join(snap_dir, "data"), exist_ok=True)
+    return snap_dir
+
+
+def commit_snapshot(
+    snap_dir: str,
+    stage: str,
+    rows: int,
+    partitions: List[dict],
+    **extra,
+) -> dict:
+    """Commit a ``begin_snapshot`` directory by writing its manifest
+    (manifest present = committed, same crash contract as
+    ``materialize_table``)."""
+    snap_id = int(os.path.basename(snap_dir).split("-", 1)[1])
+    manifest = {
+        "snapshot": snap_id,
+        "parent": snap_id - 1 if snap_id > 0 else None,
+        "stage": stage,
+        "rows": rows,
+        "bucket_by": None,
+        "n_buckets": None,
+        "store_complete": False,
+        "partitions": partitions,
+        **extra,
+    }
+    with open(os.path.join(snap_dir, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
 def read_latest_snapshot(spark: SparkSession, path: str) -> Optional[DataFrame]:
     snaps = _snapshots(path)
     if not snaps:

@@ -688,6 +688,37 @@ def test_prebucketed_store_parity(spark, tmp_path):
     assert p2set == bset
 
 
+def test_duplicated_store_dedup_parity(spark):
+    """Reference uniqueQuads (lib/Utils.ts:44-64): a duplicated store
+    quad appears ONCE per extraction. The vectorized kernel must match
+    the interpreter on a corpus with duplicate rows; store_distinct=True
+    is the caller contract that skips the dedup pass."""
+    from extract_cbd_shape_spark.operators.kgtriples import (
+        KBO_SHAPE_IRI, KBO_SHAPE_TTL, kbo_members)
+
+    triples, members = kbo_members(spark, "/root/testdata/sf0.001")
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    shape = Term(IRI, KBO_SHAPE_IRI)
+    t2 = triples.withColumn("store_key", F.split(F.col("subject"), ":")[1])
+    m2 = members.withColumn("store_key", F.split(F.col("entity"), ":")[1])
+    dup = t2.unionByName(t2.limit(500))  # duplicate a slice of quads
+
+    cols = ["entity", "subject", "predicate", "object_value"]
+    interp = local_bulk_extract(
+        dup, m2, shapes_graph=shapes, shape=shape, vectorize=False)
+    iset = sorted(tuple(r) for r in interp.select(*cols).collect())
+    assert len(iset) == len(set(iset)), "interpreter emits unique quads"
+
+    vec = local_bulk_extract(dup, m2, shapes_graph=shapes, shape=shape)
+    vset = sorted(tuple(r) for r in vec.select(*cols).collect())
+    assert vset == iset
+
+    # distinct input + store_distinct=True: same result, dedup skipped
+    fast = local_bulk_extract(
+        t2, m2, shapes_graph=shapes, shape=shape, store_distinct=True)
+    assert sorted(tuple(r) for r in fast.select(*cols).collect()) == iset
+
+
 def test_file_scan_and_sink_fused_parity(spark, tmp_path):
     """The python-native scan (local_bulk_extract_files) and the
     sink-fused variant (extract_store_files_to_store) must produce the

@@ -73,6 +73,33 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     assert manifests2["triples"]["rows"] == manifests["triples"]["rows"]
 
 
+def test_pipeline_giant_page_routing_parity(spark, tmp_path, monkeypatch):
+    """With GIANT_PAGE_QUADS forced low every page becomes 'giant' and
+    stage 2's sink-fused kernel must exclude them while the global
+    engine serves them into the same snapshot — the triple set must
+    equal a normal-threshold run."""
+    import extract_cbd_shape_spark.plans.pipeline as pipemod
+
+    # deterministic page subset (a bare limit() may pick different rows
+    # per action, and the two pipelines must see identical input)
+    pages = synth_pages(spark, SF).orderBy("url").limit(20)
+    base = KGConstructionPipeline(spark, str(tmp_path / "wh1")).run(
+        pages, resume=False)
+
+    monkeypatch.setattr(pipemod, "GIANT_PAGE_QUADS", 2)
+    giant = KGConstructionPipeline(spark, str(tmp_path / "wh2")).run(
+        pages, resume=False)
+    assert giant["entity_triples"]["rows"] == base["entity_triples"]["rows"]
+    assert giant["entity_triples"]["giant_stores"], "pages must route giant"
+    cols = ["entity", "subject", "predicate", "object_value"]
+    a = {tuple(r) for r in read_latest_snapshot(
+        spark, str(tmp_path / "wh1/entity_triples")).select(*cols).collect()}
+    b = {tuple(r) for r in read_latest_snapshot(
+        spark, str(tmp_path / "wh2/entity_triples")).select(*cols).collect()}
+    assert a == b and len(a) > 0
+    assert giant["triples"]["rows"] == base["triples"]["rows"]
+
+
 def test_blank_label_scoping_across_pages(spark):
     """Two pages each yield a parser-local _:b0 author node; after the
     global union their labels must NOT merge: each document's CBD pulls

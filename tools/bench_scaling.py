@@ -50,6 +50,8 @@ kbo_rep = {"extract_global": replicate,
            "extract_global_ctrl": replicate,
            "sparkjoin": replicate,
            "extract_local": replicate,
+           "extract_files": replicate,
+           "extract_sink": replicate,
            # interpreter kernel is ~8x the CPU per quad: quarter corpus
            # keeps the cell wall-clock comparable
            "extract_local_interp": max(1, replicate // 4)}.get(job, 1)
@@ -138,11 +140,13 @@ elif job in ("extract_files", "extract_sink"):
     if job == "extract_files":
         t0 = time.time()
         n = local_bulk_extract_files(
-            spark, sp, shapes_graph=shapes, shape=shape).count()
+            spark, sp, shapes_graph=shapes, shape=shape,
+            store_distinct=True).count()
     else:
         t0 = time.time()
         n = extract_store_files_to_store(
             spark, sp, work + "/out", shapes_graph=shapes, shape=shape,
+            store_distinct=True,
         ).agg(F.sum("rows")).collect()[0][0]
     out = dict(sec=time.time() - t0, units=n)
 elif job in ("extract_local", "extract_local_interp"):
@@ -169,7 +173,8 @@ elif job in ("extract_local", "extract_local_interp"):
     )
     t0 = time.time()
     n = local_bulk_extract_prebucketed(
-        st, shapes_graph=shapes, shape=shape, vectorize=vectorize).count()
+        st, shapes_graph=shapes, shape=shape, vectorize=vectorize,
+        store_distinct=True).count()
     out = dict(sec=time.time() - t0, units=n)
 elif job == "pipeline":
     from extract_cbd_shape_spark.plans.pipeline import KGConstructionPipeline
