@@ -459,6 +459,54 @@ corpus AS (
 
 _TOKS_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
+# DuckDB mirror of functions/urls.py::canonical_url over the messy-url
+# synthesis of _messy_urls (shared contract — keep the three in sync).
+_URL_SPLIT_SQL = (
+    r"^([A-Za-z][A-Za-z0-9+.-]*):\/\/([^\/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$"
+)
+_URL_TRACK_SQL = r"^(utm_[a-z0-9_]*|fbclid|gclid|ref)="
+_URL_CANON_CTES = f"""m AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 1 THEN 'HTTP' ELSE 'http' END
+     || '://WWW.Example.COM'
+     || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+     || '/Docs/' || CAST(doc_id // 4 AS VARCHAR)
+     || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+     || CASE WHEN doc_id % 3 = 1 THEN '?utm_source=x&b=2&a=1'
+             WHEN doc_id % 3 = 2 THEN '?fbclid=abc' ELSE '' END
+     || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS warc_ts
+  FROM documents
+), p AS (
+  SELECT doc_id, url, warc_ts,
+    lower(regexp_extract(url, '{_URL_SPLIT_SQL}', 1)) AS scheme,
+    lower(regexp_extract(url, '{_URL_SPLIT_SQL}', 2)) AS host0,
+    regexp_extract(url, '{_URL_SPLIT_SQL}', 3) AS path0,
+    regexp_extract(url, '{_URL_SPLIT_SQL}', 4) AS query0
+  FROM m
+), q AS (
+  SELECT doc_id, url, warc_ts, scheme,
+    CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+         ELSE host0 END AS host,
+    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path1,
+    list_sort(list_filter(
+      string_split(regexp_replace(query0, '^\\?', ''), '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '{_URL_TRACK_SQL}')
+    )) AS params
+  FROM p
+), canon AS (
+  SELECT doc_id, url, warc_ts,
+    CASE WHEN scheme = '' THEN url ELSE
+      scheme || '://' || host
+      || (CASE WHEN path1 <> '/' THEN regexp_replace(path1, '/$', '')
+               ELSE path1 END)
+      || (CASE WHEN len(params) > 0
+               THEN '?' || array_to_string(params, '&') ELSE '' END)
+    END AS canonical_url
+  FROM q
+)"""
+
 
 def _q_exact_dedup(spark, sf_dir):
     return exact_dedup_groups(_corpus(spark, sf_dir)).orderBy("text_hash")
@@ -474,6 +522,55 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 def _q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
+
+
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy crawl URLs from documents (shared contract
+    with the DuckDB oracle `_MESSY_URL_SQL`): upper-cased scheme/host,
+    default port, tracking query params (unordered), trailing slash,
+    fragment — every equivalence class `canonical_url` normalizes.
+    Path key doc_id//4 makes several raw urls share one canonical."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(
+        F.when(i % 2 == 1, F.lit("HTTP")).otherwise(F.lit("http")),
+        F.lit("://WWW.Example.COM"),
+        F.when(i % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Docs/"), (i / 4).cast("long").cast("string"),
+        F.when(i % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(i % 3 == 1, F.lit("?utm_source=x&b=2&a=1"))
+        .when(i % 3 == 2, F.lit("?fbclid=abc")).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    ts = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=i
+    )
+    return d.select("doc_id", url.alias("url"), ts.alias("warc_ts"))
+
+
+def _q_url_canonical(spark, sf_dir):
+    """canonical_url over deterministic messy crawl URLs — scheme/host
+    case, default ports, tracking params + param order, trailing
+    slashes, fragments (functions/urls.py; pure column expressions,
+    whole-stage codegen, map-only at any scale)."""
+    from extract_cbd_shape_spark.functions.urls import canonical_url
+
+    m = _messy_urls(spark, sf_dir)
+    return m.select(
+        "doc_id", canonical_url(F.col("url")).alias("canonical_url")
+    )
+
+
+def _q_url_dedup(spark, sf_dir):
+    """url_dedup: one row per canonical URL, latest crawl wins. One
+    hash shuffle on canonical_url + map-side-combinable max — no
+    window sort (functions/urls.py::url_dedup)."""
+    from extract_cbd_shape_spark.functions.urls import url_dedup
+
+    m = _messy_urls(spark, sf_dir)
+    return url_dedup(m).select(
+        "canonical_url", F.col("url").alias("kept_url")
+    )
 
 
 def _q_token_count(spark, sf_dir):
@@ -826,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": _q_minhash_lsh,
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "simhash": _q_simhash,
+        "url_canonical": _q_url_canonical,
+        "url_dedup": _q_url_dedup,
         "token_count": _q_token_count,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality,
@@ -1333,6 +1432,15 @@ tok AS (SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks),
 h AS (SELECT doc_id, md5(tok) AS h FROM tok),
 votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM votes
+""",
+        "url_canonical": f"""
+WITH {_URL_CANON_CTES}
+SELECT doc_id, canonical_url FROM canon
+""",
+        "url_dedup": f"""
+WITH {_URL_CANON_CTES}
+SELECT canonical_url, arg_max(url, warc_ts) AS kept_url
+FROM canon GROUP BY canonical_url
 """,
         "token_count": f"""
 SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
