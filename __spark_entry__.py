@@ -634,6 +634,29 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(d, ["lang"], 5, "doc_id").select("doc_id", "lang")
 
 
+def _q_domain_quota(spark, sf_dir):
+    """Per-site quota (cap docs per registered host) — composition of
+    url_host (functions/urls.py) as the stratum with
+    stratified_sample's deterministic md5-order top-k. The standard
+    head-domain guard in web-corpus curation: one shuffle on the host
+    key, rank filter pushed map-side (WindowGroupLimit)."""
+    from extract_cbd_shape_spark.functions.urls import url_host
+    from extract_cbd_shape_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    # deterministic crawl-url synthesis: ~10 docs per host at any sf
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://WWW."), F.col("source"), F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    ).withColumn("host", url_host(F.col("url")))
+    return stratified_sample(pages, ["host"], 4, "doc_id").select(
+        "doc_id", "host"
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every doc_id % 50 == 0 document is the
     'held-out eval set'; the pool is the planted corpus minus those ids
@@ -931,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "train_split": _q_train_split,
         "stratified_sample": _q_stratified_sample,
+        "domain_quota": _q_domain_quota,
         "decontaminate": _q_decontaminate,
         "pii_redact": _q_pii_redact,
         "dup_lines": _q_dup_lines,
@@ -1528,6 +1552,17 @@ SELECT doc_id, lang FROM (
       PARTITION BY lang
       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
   FROM documents) WHERE rk <= 5
+""",
+        "domain_quota": """
+WITH pages AS (
+  SELECT doc_id,
+         lower('www.' || source || '.example.com') AS host
+  FROM documents)
+SELECT doc_id, host FROM (
+  SELECT doc_id, host, row_number() OVER (
+      PARTITION BY host
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM pages) WHERE rk <= 4
 """,
         "entity_link": f"""
 WITH toks AS (SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS mention
