@@ -1021,7 +1021,8 @@ class _Run:
                 if shape is not None:
                     for nl in shape.all_node_links():
                         next_candidates.add(_shape_key(nl.link))
-                new_work_parts.extend(self._process_shape(sub, shape, sk))
+                new_work_parts.extend(self._process_shape(
+                    sub, shape, sk, first_round=(rounds == 1)))
             candidates = next_candidates
             self._checkpoint_trie()
             if not new_work_parts:
@@ -1184,7 +1185,8 @@ class _Run:
         return self.shapes.shapes.get((int(kind), value))
 
     def _process_shape(
-        self, work: DataFrame, shape: Optional[ShapeTemplate], shape_key: Optional[str]
+        self, work: DataFrame, shape: Optional[ShapeTemplate],
+        shape_key: Optional[str], first_round: bool = False,
     ) -> List[DataFrame]:
         """One extractRecursively pass for all members at this shape
         (lib/CBDShapeExtractor.ts:374-462). Returns new-work parts."""
@@ -1226,7 +1228,7 @@ class _Run:
                 self._process_simple_stage(
                     shape, focus_base, match_paths, payload,
                     matched_targets, gated_out_rows, link_preds,
-                    star0=star0,
+                    star0=star0, first_round=first_round,
                 )
                 continue
             path = match_paths[payload]
@@ -1303,6 +1305,7 @@ class _Run:
         gated_out_rows: Dict[int, Optional[DataFrame]],
         link_preds: Optional[set] = None,
         star0: Optional[DataFrame] = None,
+        first_round: bool = False,
     ) -> None:
         """Batched gate+match for a stage of simple predicate paths:
         one join per direction over ALL work rows. Gating is a join
@@ -1390,24 +1393,38 @@ class _Run:
             joined = joined.withColumn(
                 "pos", _sql_extend_word(F.col("_old_pos"), sign, F.col("_q_predicate"))
             )
+            joined = joined.localCheckpoint()
+            quad_cols = [F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
             # Witness emission + found-gate (the non-elided directions:
             # closed shapes, inverse hops, cbd_default_graph). Inverse
             # witnesses are NOT in the star, so they emit; open shapes
             # still gate (a reduced word can witness them, e.g. arriving
             # via +p then ^p).
-            if not shape.closed:
-                tb = trie_before.select(
-                    F.col("member_id"), F.col("word").alias("pos")
-                ).distinct().withColumn("_found", F.lit(True))
-                joined = joined.join(tb, ["member_id", "pos"], "left")
-            joined = joined.localCheckpoint()
-            quad_cols = [F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
-            found_miss = (
-                F.col("_found").isNull() if "_found" in joined.columns
-                else F.lit(True)
-            )
+            if shape.closed or (first_round and inverse):
+                # Closed shapes never gate. Round-1 INVERSE hops are
+                # provably gate-free: every seed pos is ROOT (""), so
+                # the probe word reduces to one '-'-signed segment,
+                # while the pre-stage trie holds only ROOT and
+                # '+'-signed CBD wave words — no hit is possible. The
+                # '+p then ^p' cancellation needs a non-ROOT focus pos,
+                # which only exists from round 2 on.
+                witness_rows = joined
+            else:
+                # Duplicate-insensitive LEFT ANTI against the RAW trie
+                # parts: the old distinct()+left-join shuffled and
+                # aggregated the full (corpus-scaled) trie INSIDE this
+                # stage's eager barrier; the anti needs no distinct and
+                # runs lazily in the final action over the checkpointed
+                # ``joined``.
+                witness_rows = joined.join(
+                    trie_before.select(
+                        F.col("member_id"), F.col("word").alias("pos")
+                    ),
+                    ["member_id", "pos"],
+                    "left_anti",
+                )
             self.result_parts.append(
-                joined.filter(found_miss).select("member_id", *quad_cols)
+                witness_rows.select("member_id", *quad_cols)
             )
             quad_struct = F.struct(*quad_cols)
             targets_all = joined.withColumn(
