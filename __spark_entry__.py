@@ -27,10 +27,14 @@ from extract_cbd_shape_spark.operators.closure import (
     connected_components,
     transitive_closure,
 )
+from extract_cbd_shape_spark.operators.boilerplate import strip_boilerplate
 from extract_cbd_shape_spark.operators.decontaminate import benchmark_overlap
 from extract_cbd_shape_spark.operators.dedup import (
+    corpus_fingerprints,
+    dedup_new_against_index,
     exact_dedup_groups,
     minhash_lsh_dups,
+    near_dups_against_index,
     ngram_jaccard_dups,
     simhash,
 )
@@ -524,6 +528,65 @@ def _q_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def _templated_pages(spark, sf_dir):
+    """Deterministic multi-line page texts with host-level template
+    lines (shared contract with the DuckDB `_TEMPLATED_CTE`): every doc
+    of a host carries a nav line + a global menu line + a footer line;
+    even doc_ids add a promo line seen by ~half the host's docs —
+    sitting exactly ON the 1/2 document-frequency threshold, so the
+    integer-exact boilerplate test is exercised at its boundary."""
+    d = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.lit("nav "), F.col("source"), F.lit("\n"),
+        F.lit("home about contact"), F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("promo "), F.col("source"), F.lit("\n")),
+        ).otherwise(F.lit("")),
+        F.col("text"), F.lit("\n"),
+        F.lit("copyright "), F.col("source"),
+    )
+    return d.select(
+        "doc_id", F.col("source").alias("host"), text.alias("text")
+    )
+
+
+def _q_boilerplate_strip(spark, sf_dir):
+    return strip_boilerplate(_templated_pages(spark, sf_dir))
+
+
+def _q_incremental_dedup(spark, sf_dir):
+    """Exact dedup of a NEW ingest batch against the prior snapshot's
+    fingerprint index: even doc_ids are the existing corpus, the new
+    batch is the odd docs (novel) plus re-crawled copies of every 10th
+    existing doc (+1M ids) — which the index join must drop."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup_new_against_index(new, corpus_fingerprints(old))
+
+
+def _q_incremental_near_dups(spark, sf_dir):
+    """Near-dedup of a NEW batch against the prior corpus via the
+    banded MinHash index (no self-joins): the new batch holds the odd
+    docs plus 80%-token-prefix mutants (+2M ids) of the even docs; the
+    mutants must surface as (doc_new, doc_index) pairs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    toks = tokens(F.col("text"))
+    keep = F.greatest(((F.size(toks) * 4) / 5).cast("int"), F.lit(1))
+    mutant = F.array_join(F.slice(toks, 1, keep), " ")
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(
+        old.select((F.col("doc_id") + 2000000).alias("doc_id"),
+                   mutant.alias("text"))
+    )
+    return near_dups_against_index(new, old, threshold=0.5)
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministic messy crawl URLs from documents (shared contract
     with the DuckDB oracle `_MESSY_URL_SQL`): upper-cased scheme/host,
@@ -943,6 +1006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "events_sessions": _q_events_sessions,
         "exact_dedup": _q_exact_dedup,
+        "incremental_dedup": _q_incremental_dedup,
+        "incremental_near_dups": _q_incremental_near_dups,
+        "boilerplate_strip": _q_boilerplate_strip,
         "minhash_lsh_dups": _q_minhash_lsh,
         "ngram_jaccard_dups": _q_ngram_jaccard,
         "simhash": _q_simhash,
@@ -1097,7 +1163,10 @@ def _minhash_perm_values() -> str:
     )
 
 
-_MINHASH_CTES = f"""
+# per-doc minhash machinery over a `corpus` CTE (shared by the self-join
+# dedup oracle and the incremental new-vs-index oracle, which differ only
+# in how candidate pairs are formed from `band`)
+_MINHASH_BASE_CTES = f"""
 toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM corpus),
 shd AS (SELECT DISTINCT doc_id, s
         FROM (SELECT doc_id, unnest({_SH3}) AS s FROM toks)),
@@ -1114,11 +1183,14 @@ band AS (SELECT doc_id, j - (j % 3) AS band,
                 md5(string_agg(j::VARCHAR || '=' || minhash, ''
                     ORDER BY j::VARCHAR || '=' || minhash)) AS band_hash
          FROM sig GROUP BY doc_id, j - (j % 3)),
+sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id)
+"""
+
+_MINHASH_CTES = f"""{_MINHASH_BASE_CTES.strip()},
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM band a JOIN band b
            ON a.band = b.band AND a.band_hash = b.band_hash
           AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
           FROM cand c
           JOIN shd x ON x.doc_id = c.doc_a
@@ -1417,6 +1489,75 @@ FROM (
 WITH {_CORPUS_CTE.strip()}
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS representative
 FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash
+""",
+        "incremental_dedup": """
+WITH oldfp AS (SELECT DISTINCT md5(text) AS text_hash
+               FROM documents WHERE doc_id % 2 = 0),
+newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         UNION ALL
+         SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+FROM newb
+WHERE md5(text) NOT IN (SELECT text_hash FROM oldfp)
+GROUP BY md5(text)
+""",
+        "incremental_near_dups": f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + 2000000,
+           array_to_string(t[1:greatest((len(t)*4)//5, 1)], ' ')
+    FROM (SELECT doc_id, {_TOKS_SQL} AS t
+          FROM documents WHERE doc_id % 2 = 0)
+),
+{_MINHASH_BASE_CTES.strip()},
+cand AS (SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_idx
+         FROM band a JOIN band b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+         WHERE (a.doc_id % 2 = 1 OR a.doc_id >= 2000000)
+           AND b.doc_id % 2 = 0 AND b.doc_id < 2000000),
+inter AS (SELECT c.doc_new, c.doc_idx, count(*) AS i
+          FROM cand c
+          JOIN shd x ON x.doc_id = c.doc_new
+          JOIN shd y ON y.doc_id = c.doc_idx AND y.s = x.s
+          GROUP BY c.doc_new, c.doc_idx)
+SELECT i.doc_new, i.doc_idx AS doc_index,
+       round(i.i * 1.0 / (na.n + nb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_new
+JOIN sizes nb ON nb.doc_id = i.doc_idx
+WHERE i.i * 1.0 / (na.n + nb.n - i.i) >= 0.5
+""",
+        "boilerplate_strip": """
+WITH pg AS (
+  SELECT doc_id, source AS host,
+         'nav ' || source || chr(10) || 'home about contact' || chr(10)
+         || CASE WHEN doc_id % 2 = 0
+                 THEN 'promo ' || source || chr(10) ELSE '' END
+         || text || chr(10) || 'copyright ' || source AS text
+  FROM documents),
+lns AS (SELECT doc_id, host,
+               unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM pg),
+df AS (SELECT host, line, count(DISTINCT doc_id) AS line_df
+       FROM lns WHERE trim(line) <> '' GROUP BY host, line),
+hd AS (SELECT host, count(DISTINCT doc_id) AS host_docs
+       FROM pg GROUP BY host),
+boiler AS (SELECT df.host, df.line FROM df JOIN hd USING (host)
+           WHERE line_df >= 2 AND line_df * 2 >= host_docs),
+kept AS (SELECT l.doc_id, l.host, l.pos, l.line
+         FROM lns l LEFT JOIN boiler b
+           ON l.host = b.host AND l.line = b.line
+         WHERE b.line IS NULL),
+rebuilt AS (SELECT doc_id, host,
+                   string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id, host)
+SELECT p.doc_id, p.host, coalesce(r.text, '') AS text
+FROM pg p LEFT JOIN rebuilt r
+  ON p.doc_id = r.doc_id AND p.host = r.host
 """,
         "minhash_lsh_dups": f"""
 WITH {_CORPUS_CTE.strip()},

@@ -304,6 +304,81 @@ def minhash_lsh_dups(docs: DataFrame, id_col: str = "doc_id",
     return jaccard_verify_sets(pairs, prof.select("doc_id", "s"), threshold)
 
 
+def corpus_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_hash) — a corpus snapshot's exact-dedup index. In a
+    production pipeline this is materialized once per snapshot (a
+    parquet/Iceberg table bucketed by text_hash) and extended
+    incrementally; only ever keys, never text, so the index is ~1/1000
+    the corpus size."""
+    return docs.select(F.md5(F.col(text_col)).alias("text_hash")).dropDuplicates()
+
+
+def dedup_new_against_index(new_docs: DataFrame, index: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Incremental exact dedup: surviving rows of a NEW batch against a
+    prior corpus index (``corpus_fingerprints`` output) — (id, text_hash)
+    where the batch's min id represents each novel text.
+
+    This is the operation a continuously-ingesting corpus actually
+    runs: the already-cleaned 100 TB corpus is never rescanned — the
+    new batch is fingerprinted map-side, anti-joined against the stored
+    index (hash-partitioned on text_hash; AQE broadcasts the smaller
+    side), and collapsed within itself by one combinable min-aggregate.
+    Cost scales with |new batch| + |index keys|, not |corpus|."""
+    fp = new_docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    fresh = fp.join(index.select("text_hash"), "text_hash", "left_anti")
+    return (
+        fresh.groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "text_hash")
+    )
+
+
+def near_dups_against_index(new_docs: DataFrame, index_docs: DataFrame,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            threshold: float = 0.7) -> DataFrame:
+    """Incremental MinHash-LSH near-dedup: (doc_new, doc_index, jaccard)
+    pairs where a NEW document is a near-duplicate of a PRIOR-corpus
+    document. Ids of the two inputs must be disjoint.
+
+    Physical shape: band rows of the new batch equi-join band rows of
+    the index (in production the index side is the stored
+    ``minhash_doc_profiles`` table of the existing corpus — computed
+    once per snapshot, reused by every ingest batch); NO self-join on
+    either side, so within-batch and within-index pairs are never
+    generated. Verification joins the candidate pairs against the two
+    profile tables' shingle sets. Like ``dedup_new_against_index``,
+    cost scales with the new batch and the candidate count, not with
+    corpus size."""
+    prof_new = minhash_doc_profiles(new_docs, id_col, text_col).persist()
+    prof_idx = minhash_doc_profiles(index_docs, id_col, text_col).persist()
+    bn = _bands_from_profiles(prof_new).select(
+        F.col("doc_id").alias("doc_a"), "band", "band_hash"
+    )
+    bi = _bands_from_profiles(prof_idx).select(
+        F.col("doc_id").alias("doc_b"), "band", "band_hash"
+    )
+    pairs = (
+        bn.join(bi, ["band", "band_hash"])
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sets = prof_new.select("doc_id", "s").unionByName(
+        prof_idx.select("doc_id", "s")
+    )
+    return (
+        jaccard_verify_sets(pairs, sets, threshold)
+        .select(
+            F.col("doc_a").alias("doc_new"),
+            F.col("doc_b").alias("doc_index"),
+            "jaccard",
+        )
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text", bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — bit i votes with the high bit of md5 hex
