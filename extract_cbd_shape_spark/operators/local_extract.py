@@ -1812,7 +1812,7 @@ def local_bulk_extract_files(
 
 def extract_store_files_to_store(
     spark: SparkSession,
-    store_path: str,
+    store_path,  # str or Sequence[str]: data dir(s) of the store table
     out_path: str,
     shapes_graph: Optional[ShapesGraph] = None,
     shape: Optional[Term] = None,
@@ -1860,7 +1860,13 @@ def extract_store_files_to_store(
     )
 
     read_cols = _store_read_columns(store_col, columns)
-    store_root = os.path.abspath(store_path)
+    # Accept one data dir or several (a snapshot that inherits parent
+    # data dirs, sinks/materialize append model). Result names flatten
+    # the path relative to the dirs' common root, so files from
+    # different snapshots (which reuse bucket=K/part-NNNNN basenames)
+    # can never collide.
+    src_dirs = [store_path] if isinstance(store_path, str) else list(store_path)
+    store_root = os.path.commonpath([os.path.abspath(d) for d in src_dirs])
 
     def sink_runner(batches) -> "Iterable":
         import uuid
@@ -1898,7 +1904,10 @@ def extract_store_files_to_store(
                     ]),
                 )
 
-    paths = _file_manifest(spark, _store_files(store_path))
+    files: List[str] = []
+    for d in src_dirs:
+        files.extend(_store_files(d))
+    paths = _file_manifest(spark, files)
     return paths.mapInArrow(sink_runner, "src string, file string, rows long")
 
 

@@ -25,10 +25,13 @@ from extract_cbd_shape_spark.operators.extract import BulkCBDShapeExtractor, Mem
 from extract_cbd_shape_spark.operators.linking import link_mentions
 from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
 from extract_cbd_shape_spark.sinks.materialize import (
+    _data_dirs,
     begin_snapshot,
     commit_snapshot,
     latest_manifest,
+    latest_snapshot_paths,
     materialize_table,
+    read_data_dirs,
     read_latest_snapshot,
 )
 from extract_cbd_shape_spark.sources.pages import extract_page_triples
@@ -63,31 +66,34 @@ class KGConstructionPipeline:
         m = latest_manifest(self._table(name))
         return m is not None and m["stage"] == stage
 
-    def _extract_entities_sink(self, raw_manifest: dict) -> dict:
-        """Stage-2 sink-fused extraction over a store-complete
-        raw_triples snapshot: worker-side pyarrow read -> CSR kernel ->
-        worker-side parquet write into the next entity_triples snapshot
+    def _extract_entities_sink(self, src_dirs, giants,
+                               inherit: bool = False,
+                               epoch: Optional[int] = None) -> dict:
+        """Stage-2 sink-fused extraction over store-complete raw_triples
+        data dirs: worker-side pyarrow read -> CSR kernel -> worker-side
+        parquet write into the next entity_triples snapshot
         (begin/commit — a crash before commit leaves no manifest and
         the retry overwrites via deterministic names). Giant pages
         (ingest-time manifest ``giant_stores``) are excluded in the
         kernel and served by the global fixpoint engine, landing in the
-        same snapshot under deterministic ``giant-*`` names."""
+        same snapshot under deterministic ``giant-*`` names.
+
+        ``inherit=True`` (incremental runs): ``src_dirs`` is only the
+        DELTA raw_triples dir and the committed snapshot lists the
+        parent entity_triples data dirs by reference alongside the new
+        result files (sinks/materialize append model)."""
         import pyarrow.parquet as pq
 
         from extract_cbd_shape_spark.operators.local_extract import (
             extract_store_files_to_store,
             local_bulk_extract,
         )
-        from extract_cbd_shape_spark.sinks.materialize import (
-            latest_snapshot_path,
-        )
 
         spark = self.spark
-        src = latest_snapshot_path(self._table("raw_triples"))
-        giants = raw_manifest.get("giant_stores")
+        src = list(src_dirs)
         if giants is None:  # pre-threshold snapshot layout: one scan
             giants = [
-                r[0] for r in spark.read.parquet(src).groupBy("page_url")
+                r[0] for r in read_data_dirs(spark, src).groupBy("page_url")
                 .agg(F.count(F.lit(1)).alias("_n"))
                 .filter(F.col("_n") > GIANT_PAGE_QUADS).collect()
             ]
@@ -108,7 +114,7 @@ class KGConstructionPipeline:
             if fn.startswith("giant-"):
                 os.remove(os.path.join(data_dir, fn))
         if giants:
-            store = spark.read.parquet(src).drop("bucket").withColumnRenamed(
+            store = read_data_dirs(spark, src).drop("bucket").withColumnRenamed(
                 "page_url", "store_key")
             gq = store.filter(F.col("store_key").isin(giants))
             subjects = gq.filter(F.col("subject_kind") == IRI).select(
@@ -141,9 +147,36 @@ class KGConstructionPipeline:
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
+        extra = {"giant_stores": giants}
+        if epoch is not None:
+            extra["epoch"] = epoch
+        if inherit:
+            parent = latest_manifest(self._table("entity_triples"))
+            if parent:
+                own = os.path.join(os.path.basename(snap_dir), "data")
+                extra["data_dirs"] = _data_dirs(parent) + [own]
+                extra["delta_rows"] = rows
+                rows += parent["rows"]
+                extra["giant_stores"] = sorted(
+                    set(giants) | set(parent.get("giant_stores") or [])
+                )
         return commit_snapshot(
-            snap_dir, "extract_entities", rows, partitions,
-            giant_stores=giants,
+            snap_dir, "extract_entities", rows, partitions, **extra,
+        )
+
+    @staticmethod
+    def _parse_pages(pages: DataFrame) -> DataFrame:
+        return extract_page_triples(pages).select(
+            F.col("subject"),
+            F.col("subject_kind").cast("tinyint"),
+            F.col("predicate"),
+            F.col("object_value"),
+            F.col("object_kind").cast("tinyint"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("graph"),
+            F.lit(None).cast("tinyint").alias("graph_kind"),
+            F.col("url").alias("page_url"),
         )
 
     def run(self, pages: DataFrame, resume: bool = True) -> Dict[str, dict]:
@@ -152,18 +185,7 @@ class KGConstructionPipeline:
 
         # Stage 1 — pages -> raw triples (Arrow-vectorized parse).
         if not (resume and self._stage_done("raw_triples", "extract_pages")):
-            raw = extract_page_triples(pages).select(
-                F.col("subject"),
-                F.col("subject_kind").cast("tinyint"),
-                F.col("predicate"),
-                F.col("object_value"),
-                F.col("object_kind").cast("tinyint"),
-                F.lit(None).cast("string").alias("object_lang"),
-                F.lit(None).cast("string").alias("object_datatype"),
-                F.lit(None).cast("string").alias("graph"),
-                F.lit(None).cast("tinyint").alias("graph_kind"),
-                F.col("url").alias("page_url"),
-            )
+            raw = self._parse_pages(pages)
             # Store-complete by page: each page's triples land whole in
             # one bucket file, so stage 2 extracts with ZERO shuffles
             # (the one repartition here is the ingest-time bucketing a
@@ -207,8 +229,10 @@ class KGConstructionPipeline:
                     # exchange (BENCH_LAYERS.md). Skew guard: giant
                     # pages were identified at ingest (manifest
                     # giant_stores) and route to the global engine.
-                    manifests["entity_triples"] = (
-                        self._extract_entities_sink(m))
+                    manifests["entity_triples"] = self._extract_entities_sink(
+                        latest_snapshot_paths(self._table("raw_triples")),
+                        m.get("giant_stores"),
+                    )
                 else:
                     # resumed from a pre-store-complete snapshot layout
                     t2 = raw.drop("bucket").withColumnRenamed(
@@ -249,6 +273,73 @@ class KGConstructionPipeline:
                 # stage output is materialized — drop the run's cached
                 # store copies before the next stage claims memory
                 ex.release()
+        self._graph_stages(manifests, resume)
+
+        for name in ("raw_triples", "entity_triples", "links", "entities", "triples"):
+            if name not in manifests:
+                m = latest_manifest(self._table(name))
+                if m:
+                    manifests[name] = m
+        return manifests
+
+    def run_incremental(self, new_pages: DataFrame,
+                        epoch: Optional[int] = None) -> Dict[str, dict]:
+        """Ingest ONE new batch of pages against an existing warehouse.
+
+        The two corpus-scale stages are incremental: the batch is
+        parsed and appended to ``raw_triples`` as a delta snapshot
+        (parent data files inherited by reference — the Iceberg model;
+        the 100 TB corpus is never rewritten), and sink-fused
+        extraction runs over ONLY the delta's bucket files, committing
+        an ``entity_triples`` snapshot that again inherits the parent's
+        result files. The graph-level stages (linking,
+        canonicalization, final tables) recompute over the full entity
+        graph: they are global fixpoints a delta can change anywhere,
+        and at web scale they run over data orders of magnitude smaller
+        than the corpus the incremental stages skip.
+
+        Caller contract: ``new_pages`` urls are disjoint from
+        already-ingested pages (route re-crawls through
+        ``functions.urls.url_dedup`` first) — this is what keeps every
+        page's quads whole inside one delta file (store-completeness).
+
+        ``epoch``: idempotence token for streaming replays. Each
+        incremental stage stamps it into its snapshot manifest; a
+        replayed call (same epoch — e.g. a foreachBatch retry after a
+        crash) skips stages whose latest manifest already carries the
+        epoch, whatever point the crashed attempt reached, and re-runs
+        the rest. Graph stages are recomputed regardless (idempotent
+        full recomputes over the union)."""
+        manifests: Dict[str, dict] = {}
+        raw_tbl = self._table("raw_triples")
+        m = latest_manifest(raw_tbl)
+        if not (epoch is not None and m and m.get("epoch") == epoch):
+            m = materialize_table(
+                self._parse_pages(new_pages), raw_tbl,
+                "extract_pages", bucket_by="page_url", store_complete=True,
+                giant_threshold=GIANT_PAGE_QUADS, append=True,
+                manifest_extra=(
+                    {"epoch": epoch} if epoch is not None else None
+                ),
+            )
+        manifests["raw_triples"] = m
+        delta_dir = os.path.join(raw_tbl, _data_dirs(m)[-1])
+        me = latest_manifest(self._table("entity_triples"))
+        if epoch is not None and me and me.get("epoch") == epoch:
+            manifests["entity_triples"] = me
+        else:
+            manifests["entity_triples"] = self._extract_entities_sink(
+                [delta_dir],
+                m.get("delta_giant_stores", m.get("giant_stores")),
+                inherit=True, epoch=epoch,
+            )
+        self._graph_stages(manifests, resume=False)
+        return manifests
+
+    def _graph_stages(self, manifests: Dict[str, dict], resume: bool) -> None:
+        """Stages 3-5: linking -> canonicalization -> final tables,
+        over the latest (possibly appended) entity_triples snapshot."""
+        spark = self.spark
         entity_triples = read_latest_snapshot(spark, self._table("entity_triples"))
 
         # Stage 3 — entity linking (salted broadcast dictionary join).
@@ -303,10 +394,3 @@ class KGConstructionPipeline:
             manifests["triples"] = materialize_table(
                 final, self._table("triples"), "materialize"
             )
-
-        for name in ("raw_triples", "entity_triples", "links", "entities", "triples"):
-            if name not in manifests:
-                m = latest_manifest(self._table(name))
-                if m:
-                    manifests[name] = m
-        return manifests

@@ -37,6 +37,16 @@ def _snapshots(path: str) -> List[str]:
     )
 
 
+def _data_dirs(manifest: dict) -> List[str]:
+    """Data directories of a snapshot, RELATIVE to the table path.
+    Full snapshots own exactly their own dir; append snapshots inherit
+    the parent's files by reference (the Iceberg manifest-reuse model —
+    data files are immutable, a new snapshot lists old + new)."""
+    return manifest.get("data_dirs") or [
+        os.path.join(f"snap-{manifest['snapshot']:04d}", "data")
+    ]
+
+
 def materialize_table(
     df: DataFrame,
     path: str,
@@ -45,6 +55,8 @@ def materialize_table(
     n_buckets: int = 32,
     store_complete: bool = False,
     giant_threshold: Optional[int] = None,
+    append: bool = False,
+    manifest_extra: Optional[dict] = None,
 ) -> dict:
     """Write df as the next snapshot of the table at ``path``.
     Returns the manifest dict.
@@ -61,10 +73,33 @@ def materialize_table(
     with more than that many rows (``giant_stores``). Skew detection is
     an ingest-time property of the data, so it is paid once here — with
     map-side partial aggregation the pass is cheap — and every
-    downstream extraction routes giants without re-scanning the corpus."""
+    downstream extraction routes giants without re-scanning the corpus.
+
+    ``append=True``: ``df`` is a DELTA batch. Only the delta's files are
+    written; the new snapshot's manifest lists the parent's data dirs by
+    reference plus its own (Iceberg snapshot/manifest reuse — a 100 TB
+    table is never rewritten to ingest a day of crawl). Caller contract
+    for ``store_complete`` append tables: the delta contains only NEW
+    ``bucket_by`` groups (re-crawled pages go through url_dedup first),
+    so every group still lives whole inside one file. Manifest carries
+    merged ``giant_stores`` plus delta-scoped ``delta_giant_stores`` /
+    ``delta_rows`` so incremental consumers process only the delta."""
     snaps = _snapshots(path)
     snap_id = len(snaps)
     snap_dir = os.path.join(path, f"snap-{snap_id:04d}")
+    parent: Optional[dict] = None
+    if append and snaps:
+        with open(os.path.join(path, snaps[-1], MANIFEST)) as f:
+            parent = json.load(f)
+        if parent.get("bucket_by") != bucket_by or (
+            bucket_by and parent.get("n_buckets") != n_buckets
+        ):
+            raise ValueError(
+                "append batch layout mismatch: parent snapshot is "
+                f"bucket_by={parent.get('bucket_by')}/"
+                f"n_buckets={parent.get('n_buckets')}, delta wants "
+                f"{bucket_by}/{n_buckets}"
+            )
 
     out = df
     if bucket_by is not None:
@@ -125,19 +160,32 @@ def materialize_table(
                 .filter(F.col("_n") > giant_threshold)
                 .collect()
             )
+    own_dir = os.path.join(f"snap-{snap_id:04d}", "data")
     manifest = {
         "snapshot": snap_id,
         "parent": snap_id - 1 if snap_id > 0 else None,
         "stage": stage,
-        "rows": rows,
+        "rows": (parent["rows"] + rows) if parent else rows,
         "bucket_by": bucket_by,
         "n_buckets": n_buckets if bucket_by else None,
         "store_complete": bool(store_complete and bucket_by),
         "partitions": per_partition,
+        "data_dirs": (_data_dirs(parent) + [own_dir]) if parent else [own_dir],
     }
+    if parent:
+        manifest["delta_rows"] = rows
     if giants is not None:
         manifest["giant_threshold"] = giant_threshold
-        manifest["giant_stores"] = giants
+        manifest["delta_giant_stores"] = giants
+        manifest["giant_stores"] = sorted(
+            set(giants) | set(parent.get("giant_stores") or [])
+        ) if parent else giants
+    elif parent and parent.get("giant_stores") is not None:
+        manifest["giant_threshold"] = parent.get("giant_threshold")
+        manifest["giant_stores"] = parent["giant_stores"]
+        manifest["delta_giant_stores"] = []
+    if manifest_extra:
+        manifest.update(manifest_extra)
     os.makedirs(snap_dir, exist_ok=True)
     with open(os.path.join(snap_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -185,17 +233,44 @@ def commit_snapshot(
 
 
 def read_latest_snapshot(spark: SparkSession, path: str) -> Optional[DataFrame]:
-    snaps = _snapshots(path)
-    if not snaps:
+    dirs = latest_snapshot_paths(path)
+    if not dirs:
         return None
-    return spark.read.parquet(os.path.join(path, snaps[-1], "data"))
+    return read_data_dirs(spark, dirs)
+
+
+def read_data_dirs(spark: SparkSession, dirs: List[str]) -> DataFrame:
+    """One read PER data dir, unioned: each snapshot dir is its own hive
+    partition root (`bucket=K` subdirs), and Spark's partition discovery
+    refuses multiple roots in one read. The union is a plan-level
+    concat — no shuffle, and each branch still prunes partitions and
+    columns independently."""
+    df = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        df = df.unionByName(spark.read.parquet(d))
+    return df
 
 
 def latest_snapshot_path(path: str) -> Optional[str]:
+    """Single data dir of the latest snapshot — only valid for tables
+    never written with ``append=True`` (asserts otherwise; append-aware
+    readers use ``latest_snapshot_paths``)."""
+    dirs = latest_snapshot_paths(path)
+    if not dirs:
+        return None
+    assert len(dirs) == 1, f"appended table {path}: use latest_snapshot_paths"
+    return dirs[0]
+
+
+def latest_snapshot_paths(path: str) -> List[str]:
+    """All data dirs (absolute) of the latest snapshot, parent files
+    included for append snapshots."""
     snaps = _snapshots(path)
     if not snaps:
-        return None
-    return os.path.join(path, snaps[-1], "data")
+        return []
+    with open(os.path.join(path, snaps[-1], MANIFEST)) as f:
+        m = json.load(f)
+    return [os.path.join(path, d) for d in _data_dirs(m)]
 
 
 def latest_manifest(path: str) -> Optional[dict]:

@@ -86,6 +86,50 @@ def stream_pages_to_triples(
     return writer.start()
 
 
+def streaming_kg_construction(
+    spark: SparkSession,
+    pages_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    shapes_graph=None,
+    shape=None,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Continuous KG construction: every micro-batch of new page files
+    runs the full incremental pipeline — parse + per-entity extraction
+    over ONLY the batch (delta snapshots inheriting the prior corpus's
+    data files, plans/pipeline.run_incremental), then the graph stages
+    recomputed over the union.
+
+    Exactly-once across crashes at ANY point: the stream checkpoint
+    dedups input files, and ``run_incremental(epoch=batch_id)`` stamps
+    the batch id into each incremental snapshot manifest, so a replayed
+    micro-batch skips exactly the stages its crashed attempt committed
+    and re-runs the rest (graph stages are idempotent recomputes).
+    Returns the finished StreamingQuery."""
+    from extract_cbd_shape_spark.plans.pipeline import KGConstructionPipeline
+
+    pipe = KGConstructionPipeline(
+        spark, warehouse, shapes_graph=shapes_graph, shape=shape
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipe.run_incremental(batch_df, epoch=batch_id)
+
+    stream = pages_stream(spark, pages_dir, max_files_per_trigger)
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def streaming_lang_sessions(pages: DataFrame, gap_seconds: int = 10,
                             watermark: str = "10 seconds") -> DataFrame:
     """Custom stateful streaming operator (``applyInPandasWithState``):

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from extract_cbd_shape_spark.plans.pipeline import KGConstructionPipeline
 from extract_cbd_shape_spark.sinks.materialize import (
     latest_manifest,
+    latest_snapshot_paths,
     materialize_table,
     read_latest_snapshot,
 )
@@ -71,6 +72,105 @@ def test_pipeline_end_to_end_and_resume(spark, tmp_path):
     }
     assert snaps_before == snaps_after
     assert manifests2["triples"]["rows"] == manifests["triples"]["rows"]
+
+
+def test_materialize_append_snapshot(spark, tmp_path):
+    df1 = spark.range(60).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subject"),
+        F.lit("p").alias("predicate"),
+    )
+    df2 = spark.range(60, 100).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subject"),
+        F.lit("p").alias("predicate"),
+    )
+    path = str(tmp_path / "tbl")
+    m1 = materialize_table(df1, path, "ingest", n_buckets=4)
+    m2 = materialize_table(df2, path, "ingest", n_buckets=4, append=True)
+    assert m2["rows"] == 100 and m2["delta_rows"] == 40
+    assert len(m2["data_dirs"]) == 2
+    latest = read_latest_snapshot(spark, path)
+    assert latest.count() == 100
+    assert "bucket" in latest.columns  # partition col survives multi-root read
+    # layout mismatch is rejected, not silently mixed
+    with pytest.raises(ValueError):
+        materialize_table(df2, path, "ingest", n_buckets=8, append=True)
+    # a later full write supersedes the chain
+    m3 = materialize_table(df1, path, "rebuild", n_buckets=4)
+    assert m3["rows"] == 60
+    assert read_latest_snapshot(spark, path).count() == 60
+
+
+def test_pipeline_incremental_matches_full(spark, tmp_path):
+    """run_incremental(batch B) over a warehouse built from batch A must
+    produce the same final graph as one full run over A ∪ B, while only
+    parsing/extracting B (delta snapshots inherit parent files)."""
+    pages = synth_pages(spark, SF).orderBy("url")
+    pages_a = pages.filter(F.col("url").endswith("0") | F.col("url").endswith("1")
+                           | F.col("url").endswith("2"))
+    pages_b = pages.subtract(pages_a)
+
+    wh_inc = str(tmp_path / "wh_inc")
+    pipe = KGConstructionPipeline(spark, wh_inc)
+    m_a = pipe.run(pages_a, resume=False)
+    m_inc = pipe.run_incremental(pages_b)
+
+    wh_full = str(tmp_path / "wh_full")
+    m_full = KGConstructionPipeline(spark, wh_full).run(
+        pages_a.unionByName(pages_b), resume=False)
+
+    # corpus-scale tables: appended, row-exact vs the full run
+    assert m_inc["raw_triples"]["rows"] == m_full["raw_triples"]["rows"]
+    assert m_inc["entity_triples"]["rows"] == m_full["entity_triples"]["rows"]
+    assert len(latest_snapshot_paths(os.path.join(wh_inc, "raw_triples"))) == 2
+    assert len(latest_snapshot_paths(os.path.join(wh_inc, "entity_triples"))) == 2
+    # stage 2 touched ONLY the delta's bucket files
+    delta_raw = os.path.join(
+        wh_inc, "raw_triples",
+        f"snap-{m_inc['raw_triples']['snapshot']:04d}", "data")
+    srcs = {p["src"] for p in m_inc["entity_triples"]["partitions"]}
+    assert srcs and all(s.startswith(delta_raw) for s in srcs)
+
+    # final graph identical (order-insensitive)
+    cols = ["subject", "predicate", "object_value"]
+    got = {tuple(r) for r in read_latest_snapshot(
+        spark, os.path.join(wh_inc, "triples")).select(*cols).collect()}
+    want = {tuple(r) for r in read_latest_snapshot(
+        spark, os.path.join(wh_full, "triples")).select(*cols).collect()}
+    assert got == want and len(got) > 0
+
+    # and the raw corpus reads back as the union
+    assert read_latest_snapshot(
+        spark, os.path.join(wh_inc, "raw_triples")).count() == \
+        m_full["raw_triples"]["rows"]
+
+
+def test_pipeline_incremental_giant_delta_routing(spark, tmp_path, monkeypatch):
+    """A giant page arriving IN the delta batch must route through the
+    global engine during the incremental run and still land in the
+    inherited entity_triples snapshot."""
+    import extract_cbd_shape_spark.plans.pipeline as pipemod
+
+    pages = synth_pages(spark, SF).orderBy("url").limit(12)
+    pages_a = pages.limit(6)
+    pages_b = pages.subtract(pages_a)
+
+    wh = str(tmp_path / "wh")
+    pipe = KGConstructionPipeline(spark, wh)
+    pipe.run(pages_a, resume=False)
+    monkeypatch.setattr(pipemod, "GIANT_PAGE_QUADS", 2)
+    m_inc = pipe.run_incremental(pages_b)
+    assert m_inc["raw_triples"]["delta_giant_stores"], "delta pages must be giant"
+
+    wh_full = str(tmp_path / "wh_full")
+    monkeypatch.setattr(pipemod, "GIANT_PAGE_QUADS", 2_000_000)
+    m_full = KGConstructionPipeline(spark, wh_full).run(
+        pages_a.unionByName(pages_b), resume=False)
+    cols = ["entity", "subject", "predicate", "object_value"]
+    a = {tuple(r) for r in read_latest_snapshot(
+        spark, os.path.join(wh, "entity_triples")).select(*cols).collect()}
+    b = {tuple(r) for r in read_latest_snapshot(
+        spark, os.path.join(wh_full, "entity_triples")).select(*cols).collect()}
+    assert a == b and len(a) > 0
 
 
 def test_pipeline_giant_page_routing_parity(spark, tmp_path, monkeypatch):
