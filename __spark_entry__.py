@@ -1900,7 +1900,10 @@ FROM media
         "pages_extract_triples": f"""
 WITH b AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS t,
            '_:' || substr(md5('https://corpus.test/' || source || '/' || doc_id), 1, 16)
-             || ':b0' AS blank
+             || ':b0' AS blank,
+           '_:' || substr(md5('https://corpus.test/' || source || '/' || doc_id), 1, 16)
+             || ':md0' AS mdblank,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS rdftype
            FROM documents)
 SELECT * FROM (
   SELECT 'doc:' || doc_id AS subject, 0 AS subject_kind,
@@ -1913,6 +1916,30 @@ SELECT * FROM (
   SELECT 'doc:' || doc_id, 0, 'kg:author', blank, 1 FROM b
   UNION ALL
   SELECT blank, 1, 'kg:name', 'author-' || (doc_id % 1000), 2 FROM b
+  UNION ALL
+  -- microdata block (itemscope with itemid + vocab-resolved itemprops)
+  SELECT 'doc:' || doc_id || '#article', 0, rdftype,
+         'https://schema.org/Article', 0 FROM b
+  UNION ALL
+  SELECT 'doc:' || doc_id || '#article', 0, 'https://schema.org/name',
+         'doc-' || doc_id, 2 FROM b
+  UNION ALL
+  SELECT 'doc:' || doc_id || '#article', 0, 'https://schema.org/isPartOf',
+         'https://corpus.test/' || source, 0 FROM b
+  UNION ALL
+  -- microdata item WITHOUT itemid -> page-scoped blank node
+  SELECT mdblank, 1, rdftype, 'https://schema.org/Person', 0 FROM b
+  UNION ALL
+  SELECT mdblank, 1, 'https://schema.org/name',
+         'author-' || (doc_id % 1000), 2 FROM b
+  UNION ALL
+  -- RDFa Lite block (about / typeof / property)
+  SELECT 'doc:' || doc_id, 0, rdftype, 'https://schema.org/WebPage', 0 FROM b
+  UNION ALL
+  SELECT 'doc:' || doc_id, 0, 'https://schema.org/inLanguage', lang, 2 FROM b
+  UNION ALL
+  SELECT 'doc:' || doc_id, 0, 'https://schema.org/publisher',
+         'https://corpus.test/' || source, 0 FROM b
 )
 """,
         "pages_text_identity": """

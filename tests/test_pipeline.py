@@ -217,7 +217,9 @@ def test_blank_label_scoping_across_pages(spark):
     raw = extract_page_triples(pages)
     rows = raw.collect()
     blanks = {r.subject for r in rows if r.subject_kind == 1}
-    assert len(blanks) == 2, "each page must get its own scoped label"
+    # each page yields a _:b0 (JSON-LD author) and a _:md0 (microdata
+    # person without itemid); all four labels must stay distinct
+    assert len(blanks) == 4, "each page must get its own scoped labels"
     # global-engine extraction: author name must follow its own doc
     triples = raw.select(
         "subject", F.col("subject_kind").cast("tinyint"), "predicate",
@@ -227,7 +229,8 @@ def test_blank_label_scoping_across_pages(spark):
         F.lit(None).cast("string").alias("graph"),
         F.lit(None).cast("tinyint").alias("graph_kind"),
     )
-    docs = sorted({r.subject for r in rows if r.subject_kind == 0})
+    docs = sorted({r.subject for r in rows
+                   if r.subject_kind == 0 and r.predicate == "kg:author"})
     ex = BulkCBDShapeExtractor(spark)
     res, _ = ex.extract(triples, [Term(IRI, d) for d in docs])
     per_doc = {
