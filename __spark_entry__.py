@@ -972,6 +972,22 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_bgp_star_join(spark, sf_dir):
+    """SPARQL-style BGP over the constructed KBO graph: a star of four
+    patterns (type-filter implicit via kbo predicates) compiled to
+    planned equi-joins (operators/bgp.py) — the consumption dual of the
+    extraction operators; pattern constants push into the scan."""
+    from extract_cbd_shape_spark.operators.bgp import bgp_match
+
+    triples, _ = kbo_members(spark, sf_dir)
+    return bgp_match(triples, [
+        ("?m", "kbo:activity", "?act"),
+        ("?m", "kbo:legalName", "?name"),
+        ("?m", "kbo:registeredAddress", "?a"),
+        ("?a", "kbo:postCode", "?pc"),
+    ], select=["?m", "?act", "?name", "?pc"])
+
+
 def _q_pages_triples(spark, sf_dir):
     pages = synth_pages(spark, sf_dir)
     return extract_page_triples(pages).select(
@@ -1039,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
+        "bgp_star_join": _q_bgp_star_join,
         "pages_extract_triples": _q_pages_triples,
         "pages_text_identity": _q_pages_text_identity,
     }
@@ -1896,6 +1913,14 @@ SELECT media_id,
        array_to_string(list_transform(range(1, 9),
            j -> ascii(substr(payload_str, j::INT, 1))), ',') AS feat
 FROM media
+""",
+        "bgp_star_join": """
+WITH m AS (SELECT o_orderkey AS k FROM orders)
+SELECT 'm:'||k AS m,
+       unnest(['act:'||(k % 50), 'act:'||((k + 7) % 50),
+               'act:'||((k + 13) % 50)]) AS act,
+       'Company '||k AS name, (k % 9999)::VARCHAR AS pc
+FROM m
 """,
         "pages_extract_triples": f"""
 WITH b AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS t,

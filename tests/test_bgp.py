@@ -1,0 +1,91 @@
+"""BGP query operator (operators/bgp.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from extract_cbd_shape_spark.operators.bgp import bgp_match
+
+_T = [
+    # s, sk, p, o, ok
+    ("m:1", 0, "rdf:type", "kbo:Enterprise", 0),
+    ("m:1", 0, "kbo:legalName", "Acme", 2),
+    ("m:1", 0, "kbo:registeredAddress", "a:1", 1),
+    ("a:1", 1, "kbo:postCode", "1000", 2),
+    ("m:2", 0, "rdf:type", "kbo:Enterprise", 0),
+    ("m:2", 0, "kbo:legalName", "Globex", 2),
+    ("m:2", 0, "kbo:registeredAddress", "a:2", 1),
+    ("a:2", 1, "kbo:postCode", "2000", 2),
+    ("m:3", 0, "rdf:type", "other:Thing", 0),
+    ("m:3", 0, "kbo:legalName", "NotACompany", 2),
+    ("m:3", 0, "kbo:knows", "m:3", 0),  # self-loop
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(
+        _T,
+        "subject string, subject_kind tinyint, predicate string, "
+        "object_value string, object_kind tinyint",
+    ).cache()
+
+
+def test_star_join(spark, triples):
+    got = {tuple(r) for r in bgp_match(triples, [
+        ("?m", "rdf:type", "kbo:Enterprise"),
+        ("?m", "kbo:legalName", "?name"),
+        ("?m", "kbo:registeredAddress", "?a"),
+        ("?a", "kbo:postCode", "?pc"),
+    ], select=["?m", "?name", "?pc"]).collect()}
+    assert got == {("m:1", "Acme", "1000"), ("m:2", "Globex", "2000")}
+
+
+def test_repeated_var_within_pattern_is_equality(spark, triples):
+    got = {r.x for r in bgp_match(
+        triples, [("?x", "kbo:knows", "?x")]).collect()}
+    assert got == {"m:3"}
+
+
+def test_variable_predicate(spark, triples):
+    got = {(r.p, r.o) for r in bgp_match(
+        triples, [("a:1", "?p", "?o")]).collect()}
+    assert got == {("kbo:postCode", "1000")}
+
+
+def test_cross_join_when_disconnected(spark, triples):
+    n = bgp_match(triples, [
+        ("?m", "rdf:type", "kbo:Enterprise"),
+        ("?a", "kbo:postCode", "?pc"),
+    ]).count()
+    assert n == 4  # 2 enterprises x 2 postcodes
+
+
+def test_distinct_and_kinds(spark, triples):
+    got = bgp_match(
+        triples, [("?m", "rdf:type", "?t")],
+        distinct=True, with_kinds=True,
+    )
+    assert set(got.columns) == {"m", "m_kind", "t", "t_kind"}
+    rows = {tuple(r) for r in got.collect()}
+    assert ("m:1", 0, "kbo:Enterprise", 0) in rows
+
+
+def test_empty_and_malformed_patterns_raise(spark, triples):
+    with pytest.raises(ValueError):
+        bgp_match(triples, [])
+    with pytest.raises(ValueError):
+        bgp_match(triples, [("?a", "?b")])
+    with pytest.raises(ValueError):
+        bgp_match(triples, [("?", "p", "o")])
+
+
+def test_constant_filters_reach_scan(spark, triples, tmp_path):
+    """Pattern constants must push into the parquet scan."""
+    path = str(tmp_path / "t")
+    triples.write.parquet(path)
+    t = spark.read.parquet(path)
+    plan = bgp_match(
+        t, [("?m", "kbo:legalName", "?name")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(predicate), " \
+           "EqualTo(predicate,kbo:legalName)" in plan
