@@ -988,6 +988,19 @@ def _q_bgp_star_join(spark, sf_dir):
     ], select=["?m", "?act", "?name", "?pc"])
 
 
+def _q_quality_model_score(spark, sf_dir):
+    """Learned-quality scoring pass: hashed-bag-of-tokens linear model
+    folded JVM-side per row (map-only; weights ride the plan as a
+    literal array). Stand-in weights are exact 1/1024 rationals so the
+    margin is bit-exact against the SQL oracle."""
+    from extract_cbd_shape_spark.operators.quality_model import (
+        score_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return score_documents(docs).select("doc_id", "margin", "keep")
+
+
 def _q_pages_triples(spark, sf_dir):
     pages = synth_pages(spark, sf_dir)
     return extract_page_triples(pages).select(
@@ -1056,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
         "bgp_star_join": _q_bgp_star_join,
+        "quality_model_score": _q_quality_model_score,
         "pages_extract_triples": _q_pages_triples,
         "pages_text_identity": _q_pages_text_identity,
     }
@@ -1913,6 +1927,15 @@ SELECT media_id,
        array_to_string(list_transform(range(1, 9),
            j -> ascii(substr(payload_str, j::INT, 1))), ',') AS feat
 FROM media
+""",
+        "quality_model_score": f"""
+SELECT doc_id, margin, margin > 0 AS keep FROM (
+  SELECT doc_id,
+         1.0/1024 + coalesce(list_sum(list_transform({_TOKS_SQL},
+             t -> ((((('0x'||substr(md5(t),1,8))::BIGINT % 256) * 37 + 11)
+                    % 21) - 10) / 1024.0)), 0) AS margin
+  FROM documents
+)
 """,
         "bgp_star_join": """
 WITH m AS (SELECT o_orderkey AS k FROM orders)
