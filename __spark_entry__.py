@@ -1001,6 +1001,34 @@ def _q_quality_model_score(spark, sf_dir):
     return score_documents(docs).select("doc_id", "margin", "keep")
 
 
+def _q_rdfs_entail(spark, sf_dir):
+    """RDFS forward-chaining materialization over the KBO graph:
+    subclass/subproperty/range rules applied as broadcast schema joins
+    (one corpus scan per rule family, one final distinct —
+    operators/entailment.py). 18 triples per member: 14 data + label
+    (rdfs7) + Organization/Agent (rdfs9/11) + typed address (rdfs3)."""
+    from extract_cbd_shape_spark.operators.entailment import rdfs_entail
+
+    triples, _ = kbo_members(spark, sf_dir)
+    onto = spark.createDataFrame([
+        ("kbo:Enterprise",
+         "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+         "kbo:Organization"),
+        ("kbo:Organization",
+         "http://www.w3.org/2000/01/rdf-schema#subClassOf", "kbo:Agent"),
+        ("kbo:legalName",
+         "http://www.w3.org/2000/01/rdf-schema#subPropertyOf",
+         "rdfs:label"),
+        ("kbo:registeredAddress",
+         "http://www.w3.org/2000/01/rdf-schema#range", "kbo:Address"),
+    ], "subject string, predicate string, object_value string")
+    out = rdfs_entail(triples, onto, type_predicate="rdf:type")
+    return out.select(
+        "subject", F.col("subject_kind").cast("int").alias("subject_kind"),
+        "predicate", "object_value",
+        F.col("object_kind").cast("int").alias("object_kind"))
+
+
 def _q_pages_triples(spark, sf_dir):
     pages = synth_pages(spark, sf_dir)
     return extract_page_triples(pages).select(
@@ -1070,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "bgp_star_join": _q_bgp_star_join,
         "quality_model_score": _q_quality_model_score,
+        "rdfs_entail_kbo": _q_rdfs_entail,
         "pages_extract_triples": _q_pages_triples,
         "pages_text_identity": _q_pages_text_identity,
     }
@@ -1927,6 +1956,35 @@ SELECT media_id,
        array_to_string(list_transform(range(1, 9),
            j -> ascii(substr(payload_str, j::INT, 1))), ',') AS feat
 FROM media
+""",
+        "rdfs_entail_kbo": """
+WITH m AS (SELECT o_orderkey AS k FROM orders)
+SELECT * FROM (
+  SELECT 'm:'||k AS subject, 0 AS subject_kind, 'rdf:type' AS predicate,
+         'kbo:legalEntity' AS object_value, 0 AS object_kind FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'rdf:type', 'kbo:Enterprise', 0 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:isVersionOf', 'v:'||k, 0 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:companyStatus',
+            'kbo:JuridicalSituation_000', 0 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:companyType',
+            'kbo:JuridicalForm_014', 0 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:legalName', 'Company '||k, 2 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:registeredAddress', 'a:'||k, 1 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:activity', 'act:'||(k % 50), 0 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:activity', 'act:'||((k + 7) % 50), 0 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:activity', 'act:'||((k + 13) % 50), 0 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:establishment', 'e:'||k, 0 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'kbo:status', 'kbo:Status_AC', 0 FROM m
+  UNION ALL SELECT 'a:'||k, 1, 'kbo:fullAddress', 'Street '||k, 2 FROM m
+  UNION ALL SELECT 'a:'||k, 1, 'kbo:postCode', (k % 9999)::VARCHAR, 2 FROM m
+  -- rdfs7: legalName subPropertyOf rdfs:label
+  UNION ALL SELECT 'm:'||k, 0, 'rdfs:label', 'Company '||k, 2 FROM m
+  -- rdfs9/rdfs11: Enterprise < Organization < Agent
+  UNION ALL SELECT 'm:'||k, 0, 'rdf:type', 'kbo:Organization', 0 FROM m
+  UNION ALL SELECT 'm:'||k, 0, 'rdf:type', 'kbo:Agent', 0 FROM m
+  -- rdfs3: registeredAddress range kbo:Address (blank object typed)
+  UNION ALL SELECT 'a:'||k, 1, 'rdf:type', 'kbo:Address', 0 FROM m
+)
 """,
         "quality_model_score": f"""
 SELECT doc_id, margin, margin > 0 AS keep FROM (

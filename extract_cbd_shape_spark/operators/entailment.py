@@ -1,0 +1,169 @@
+"""RDFS entailment materialization (forward chaining).
+
+KG-construction pipelines materialize the RDFS closure of the
+extracted graph so downstream queries (BGP, linking) see inferred
+types and properties without reasoning at query time. Covered rules —
+the standard RDFS subset ordered so ONE stratified pass reaches the
+fixpoint (Datalog stratification of rdfs2/3/7/9/5/11):
+
+1. rdfs5/rdfs7: property hierarchy — ``(x P y), P subPropertyOf* Q =>
+   (x Q y)``;
+2. rdfs2/rdfs3: domain/range over the property-closed data —
+   ``(x P y), P domain C => (x type C)``; ``range`` types the object
+   (IRIs/blanks only — literals are never typed);
+3. rdfs11/rdfs9: class hierarchy over all explicit + derived types —
+   ``(x type C), C subClassOf* D => (x type D)``.
+
+Scale shape: the ONTOLOGY is schema-sized (thousands of rows, not
+corpus-sized), so its transitive closures are computed driver-side and
+join the corpus as broadcast tables — every rule is a map-side
+broadcast join over one corpus scan; the only shuffle is the final
+distinct. For ontologies too large to collect, compute the closure
+with operators/closure.py (pointer jumping, O(log diameter) rounds)
+and pass it in via ``closures=``.
+
+Reference parity note: the reference does no inference (extraction
+only); this extends the pipeline the way production KG builds
+(Wikidata/schema.org ingestion) do.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional, Set, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+SUBCLASS = RDFS + "subClassOf"
+SUBPROP = RDFS + "subPropertyOf"
+DOMAIN = RDFS + "domain"
+RANGE = RDFS + "range"
+
+LITERAL_KIND = 2
+
+
+def _transitive(pairs: Iterable[Tuple[str, str]]) -> List[Tuple[str, str]]:
+    """Driver-side transitive closure (non-reflexive rows only) of a
+    schema-sized relation; cycle-safe."""
+    adj: Dict[str, Set[str]] = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+    out: List[Tuple[str, str]] = []
+    for src in adj:
+        seen: Set[str] = set()
+        stack = list(adj[src])
+        while stack:
+            nxt = stack.pop()
+            if nxt in seen:
+                continue
+            seen.add(nxt)
+            stack.extend(adj.get(nxt, ()))
+        out.extend((src, d) for d in seen if d != src)
+    return out
+
+
+def ontology_closures(ontology_rows: Iterable[tuple]):
+    """(subclass, subprop, domain, range) lists from (s, p, o) rows.
+    subclass/subprop are transitively closed, non-reflexive."""
+    sc, sp, dom, rng = [], [], [], []
+    for s, p, o in ontology_rows:
+        if p == SUBCLASS:
+            sc.append((s, o))
+        elif p == SUBPROP:
+            sp.append((s, o))
+        elif p == DOMAIN:
+            dom.append((s, o))
+        elif p == RANGE:
+            rng.append((s, o))
+    return _transitive(sc), _transitive(sp), dom, rng
+
+
+def rdfs_entail(
+    triples: DataFrame,
+    ontology: Optional[DataFrame] = None,
+    closures=None,
+    type_predicate: str = RDF_TYPE,
+) -> DataFrame:
+    """Materialize the RDFS closure of ``triples``; returns the data
+    plus all derived triples, distinct.
+
+    ``triples`` columns: subject, subject_kind, predicate,
+    object_value, object_kind (extra columns pass through as NULL on
+    derived rows is avoided by projecting to these five).
+    ``ontology``: small (s, p, o)-shaped DataFrame of schema triples;
+    collected driver-side. Pass precomputed ``closures`` (the
+    ``ontology_closures`` tuple) instead for big schemas."""
+    spark = triples.sparkSession
+    cols = ["subject", "subject_kind", "predicate", "object_value",
+            "object_kind"]
+    data = triples.select(*cols)
+    if closures is None:
+        if ontology is None:
+            raise ValueError("need ontology or closures")
+        rows = [(r[0], r[1], r[2]) for r in ontology.select(
+            "subject", "predicate", "object_value").collect()]
+        closures = ontology_closures(rows)
+    sc, sp, dom, rng = closures
+
+    def bc(pairs, a: str, b: str) -> Optional[DataFrame]:
+        if not pairs:
+            return None
+        return F.broadcast(
+            spark.createDataFrame(list(pairs), f"{a} string, {b} string"))
+
+    parts = [data]
+    # 1. property hierarchy: derived property rows (rdfs7)
+    spdf = bc(sp, "p_sub", "p_super")
+    if spdf is not None:
+        derived_props = (
+            data.join(spdf, data["predicate"] == spdf["p_sub"])
+            .select("subject", "subject_kind",
+                    F.col("p_super").alias("predicate"),
+                    "object_value", "object_kind")
+        )
+        parts.append(derived_props)
+        prop_closed = data.unionByName(derived_props)
+    else:
+        prop_closed = data
+    # 2. domain/range over property-closed data (rdfs2/rdfs3)
+    type_parts = [data.filter(F.col("predicate") == type_predicate)
+                  .select("subject", "subject_kind",
+                          F.col("object_value").alias("cls"))]
+    ddf = bc(dom, "p_dom", "c_dom")
+    if ddf is not None:
+        type_parts.append(
+            prop_closed.join(ddf, prop_closed["predicate"] == ddf["p_dom"])
+            .select("subject", "subject_kind", F.col("c_dom").alias("cls")))
+    rdf_ = bc(rng, "p_rng", "c_rng")
+    if rdf_ is not None:
+        type_parts.append(
+            prop_closed.join(rdf_, prop_closed["predicate"] == rdf_["p_rng"])
+            .filter(F.col("object_kind") != LITERAL_KIND)
+            .select(F.col("object_value").alias("subject"),
+                    F.col("object_kind").alias("subject_kind"),
+                    F.col("c_rng").alias("cls")))
+    types = type_parts[0]
+    for p in type_parts[1:]:
+        types = types.unionByName(p)
+    # 3. class hierarchy over explicit + derived types (rdfs9/rdfs11)
+    scdf = bc(sc, "c_sub", "c_super")
+    if scdf is not None:
+        types = types.unionByName(
+            types.join(scdf, types["cls"] == scdf["c_sub"])
+            .select("subject", "subject_kind",
+                    F.col("c_super").alias("cls")))
+    derived_types = types.select(
+        "subject", "subject_kind",
+        F.lit(type_predicate).alias("predicate"),
+        F.col("cls").alias("object_value"),
+        F.lit(0).cast(data.schema["object_kind"].dataType)
+        .alias("object_kind"))
+    parts.append(derived_types)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # one shuffle total: the final distinct (map-side partial combine)
+    return out.dropDuplicates(cols)
