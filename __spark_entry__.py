@@ -1045,6 +1045,77 @@ def _q_pages_text_identity(spark, sf_dir):
     return extract_page_text(pages).select("url", "extracted_text")
 
 
+def _q_nquads_roundtrip(spark, sf_dir):
+    """Distributed N-Quads text source (sources/nquads.py): serialize a
+    deterministic quad set to N-Quads lines (sinks/nquads.py) and parse
+    it back with the JVM-columnar reader. The oracle produces the same
+    quads straight from `orders` and never sees the serialization, so
+    hash equality proves serialize -> parse is the identity — incl.
+    ECHAR escapes, lang tags, datatypes, blank nodes, named/blank
+    graphs. Reference ingest surface: rdf-dereference streaming parse
+    (tests/03 .../without-shape.test.ts:58-66), here as a splittable
+    spark.read.text scan."""
+    from extract_cbd_shape_spark.sinks.nquads import to_nquads
+    from extract_cbd_shape_spark.sources.nquads import parse_nquads_lines
+
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    xsd_i = "http://www.w3.org/2001/XMLSchema#integer"
+    lang_dt = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+    s = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").cast("string").alias("k"),
+            F.col("o_custkey").cast("string").alias("c"),
+            F.col("o_orderstatus").alias("cm"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+    )
+
+    def q(subj, skind, pred, oval, okind, lang, dtype, graph, gkind):
+        return s.select(
+            subj.alias("subject"),
+            F.lit(skind).cast("byte").alias("subject_kind"),
+            F.lit(pred).alias("predicate"),
+            oval.alias("object_value"),
+            F.lit(okind).cast("byte").alias("object_kind"),
+            (F.lit(lang) if lang else F.lit(None)).cast("string")
+            .alias("object_lang"),
+            (F.lit(dtype) if dtype else F.lit(None)).cast("string")
+            .alias("object_datatype"),
+            (graph if graph is not None else F.lit(None)).cast("string")
+            .alias("graph"),
+            (F.lit(gkind) if gkind is not None else F.lit(None))
+            .cast("byte").alias("graph_kind"),
+        )
+
+    k, c = F.col("k"), F.col("c")
+    quads = (
+        # every ECHAR escape in one literal: quote, LF, TAB, backslash
+        q(F.concat(F.lit("o:"), k), 0, "ex:comment",
+          F.concat(F.col("cm"), F.lit('"\n\t\\')), 2, None, xsd_s,
+          None, None)
+        .unionAll(q(F.concat(F.lit("o:"), k), 0, "ex:priority",
+                    F.col("pr"), 2, "en", lang_dt, None, None))
+        .unionAll(q(F.concat(F.lit("b"), k), 1, "ex:custkey",
+                    c, 2, None, xsd_i, None, None))
+        .unionAll(q(F.concat(F.lit("o:"), k), 0, "ex:cust",
+                    F.concat(F.lit("c:"), c), 0, None, None,
+                    F.concat(F.lit("g:"), k), 0))
+        .unionAll(q(F.concat(F.lit("o:"), k), 0, "ex:self",
+                    F.concat(F.lit("o:"), k), 0, None, None,
+                    F.concat(F.lit("bg"), k), 1))
+    )
+    parsed = parse_nquads_lines(to_nquads(quads))
+    return parsed.select(
+        "subject", F.col("subject_kind").cast("int").alias("subject_kind"),
+        "predicate", "object_value",
+        F.col("object_kind").cast("int").alias("object_kind"),
+        "object_lang", "object_datatype", "graph",
+        F.col("graph_kind").cast("int").alias("graph_kind"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cbd_blank_closure": _q_cbd_blank_closure,
@@ -1101,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail_kbo": _q_rdfs_entail,
         "pages_extract_triples": _q_pages_triples,
         "pages_text_identity": _q_pages_text_identity,
+        "nquads_roundtrip": _q_nquads_roundtrip,
     }
 
 
@@ -2052,6 +2124,33 @@ SELECT * FROM (
 SELECT 'https://corpus.test/' || source || '/' || doc_id AS url,
        text AS extracted_text
 FROM documents
+""",
+        # The oracle builds the expected quads straight from `orders`
+        # and never sees the N-Quads text — equality proves the Spark
+        # side's serialize -> parse loop is the identity.
+        "nquads_roundtrip": """
+WITH s AS (
+  SELECT o_orderkey::VARCHAR AS k, o_custkey::VARCHAR AS c,
+         o_orderstatus AS cm, o_orderpriority AS pr
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT * FROM (
+  SELECT 'o:'||k AS subject, 0 AS subject_kind,
+         'ex:comment' AS predicate,
+         cm || '"' || chr(10) || chr(9) || '\\' AS object_value,
+         2 AS object_kind, NULL AS object_lang,
+         'http://www.w3.org/2001/XMLSchema#string' AS object_datatype,
+         NULL AS graph, NULL AS graph_kind FROM s
+  UNION ALL SELECT 'o:'||k, 0, 'ex:priority', pr, 2, 'en',
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString',
+         NULL, NULL FROM s
+  UNION ALL SELECT 'b'||k, 1, 'ex:custkey', c, 2, NULL,
+         'http://www.w3.org/2001/XMLSchema#integer', NULL, NULL FROM s
+  UNION ALL SELECT 'o:'||k, 0, 'ex:cust', 'c:'||c, 0, NULL, NULL,
+         'g:'||k, 0 FROM s
+  UNION ALL SELECT 'o:'||k, 0, 'ex:self', 'o:'||k, 0, NULL, NULL,
+         'bg'||k, 1 FROM s
+)
 """,
     }
     # store-local inverse extraction: identical expected quad set as the
