@@ -988,6 +988,25 @@ def _q_bgp_star_join(spark, sf_dir):
     ], select=["?m", "?act", "?name", "?pc"])
 
 
+def _q_bgp_optional_filter(spark, sf_dir):
+    """SPARQL SELECT core beyond the conjunctive BGP: an OPTIONAL group
+    (left join on shared vars — binds kbo:status only for members with
+    activity act:7, null otherwise) and a FILTER over a base binding.
+    The optional group's extra pattern proves group-internal joins
+    happen BEFORE the left join (SPARQL compatible-solution rule)."""
+    from extract_cbd_shape_spark.operators.bgp import bgp_match
+
+    triples, _ = kbo_members(spark, sf_dir)
+    return bgp_match(triples, [
+        ("?m", "kbo:legalName", "?name"),
+        ("?m", "kbo:registeredAddress", "?a"),
+        ("?a", "kbo:postCode", "?pc"),
+    ], optional=[[("?m", "kbo:activity", "act:7"),
+                  ("?m", "kbo:status", "?st7")]],
+        filters=["pc < '5000'"],
+        select=["?m", "?name", "?pc", "?st7"])
+
+
 def _q_quality_model_score(spark, sf_dir):
     """Learned-quality scoring pass: hashed-bag-of-tokens linear model
     folded JVM-side per row (map-only; weights ride the plan as a
@@ -1168,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
         "bgp_star_join": _q_bgp_star_join,
+        "bgp_optional_filter": _q_bgp_optional_filter,
         "quality_model_score": _q_quality_model_score,
         "rdfs_entail_kbo": _q_rdfs_entail,
         "pages_extract_triples": _q_pages_triples,
@@ -2074,6 +2094,15 @@ SELECT 'm:'||k AS m,
                'act:'||((k + 13) % 50)]) AS act,
        'Company '||k AS name, (k % 9999)::VARCHAR AS pc
 FROM m
+""",
+        "bgp_optional_filter": """
+WITH m AS (SELECT o_orderkey AS k FROM orders)
+SELECT 'm:'||k AS m, 'Company '||k AS name, (k % 9999)::VARCHAR AS pc,
+       CASE WHEN (k % 50) = 7 OR ((k + 7) % 50) = 7
+                 OR ((k + 13) % 50) = 7
+            THEN 'kbo:Status_AC' END AS st7
+FROM m
+WHERE (k % 9999)::VARCHAR < '5000'
 """,
         "pages_extract_triples": f"""
 WITH b AS (SELECT doc_id, lang, source, {_TOKS_SQL} AS t,

@@ -89,3 +89,43 @@ def test_constant_filters_reach_scan(spark, triples, tmp_path):
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(predicate), " \
            "EqualTo(predicate,kbo:legalName)" in plan
+
+
+def test_optional_binds_where_present_null_elsewhere(spark, triples):
+    # OPTIONAL { ?a kbo:postCode ?pc } over all legalName'd subjects:
+    # m:3 has no registeredAddress row in the solution, so use the
+    # address star with an optional SECOND attribute instead.
+    got = {tuple(r) for r in bgp_match(triples, [
+        ("?m", "kbo:legalName", "?name"),
+    ], optional=[[("?m", "rdf:type", "kbo:Enterprise"),
+                  ("?m", "kbo:registeredAddress", "?a")]],
+        select=["?name", "?a"]).collect()}
+    assert got == {("Acme", "a:1"), ("Globex", "a:2"),
+                   ("NotACompany", None)}
+
+
+def test_optional_groups_apply_in_order(spark, triples):
+    # second group joins on the first group's optional binding
+    got = {tuple(r) for r in bgp_match(triples, [
+        ("?m", "kbo:legalName", "?name"),
+    ], optional=[
+        [("?m", "kbo:registeredAddress", "?a")],
+        [("?a", "kbo:postCode", "?pc")],
+    ], select=["?name", "?pc"]).collect()}
+    assert got == {("Acme", "1000"), ("Globex", "2000"),
+                   ("NotACompany", None)}
+
+
+def test_filter_on_optional_var_drops_unbound(spark, triples):
+    got = {r.name for r in bgp_match(triples, [
+        ("?m", "kbo:legalName", "?name"),
+    ], optional=[[("?a", "kbo:postCode", "?pc"),
+                  ("?m", "kbo:registeredAddress", "?a")]],
+        filters=["pc >= '2000'"]).collect()}
+    assert got == {"Globex"}
+
+
+def test_disconnected_optional_raises(spark, triples):
+    with pytest.raises(ValueError, match="OPTIONAL group shares no variable"):
+        bgp_match(triples, [("?m", "kbo:legalName", "?name")],
+                  optional=[[("?x", "kbo:postCode", "?pc")]])
