@@ -17,7 +17,14 @@ reference bin/extract.ts:61-64) emits plus comments/blank lines:
 * IRI / blank / literal objects with ``@lang`` or ``^^<datatype>``;
 * string escapes ``\\\\ \\" \\n \\r \\t`` (the N-Triples ECHAR set our
   serializer produces; ``\\uXXXX`` is NOT decoded — lines carrying it
-  are surfaced, not silently mangled, see ``strict``).
+  are surfaced, not silently mangled, see below).
+
+RDF-star quoted-triple terms (``<< ... >>``, model.QUOTED — the sink
+can emit them) are NOT parsed: grammar nesting is beyond a single
+columnar regex, so such lines hit the malformed branch and RAISE under
+the default mode — loud, never a silent mis-parse. Corpora with
+RDF-star stay in parquet/Iceberg (the engine's native storage), where
+QUOTED round-trips exactly; pinned by test.
 
 Malformed lines: ``on_malformed="error"`` (default) raises at action
 time via a JVM-side ``raise_error`` branch (zero cost on clean data —

@@ -81,3 +81,19 @@ def test_nquads_parse_is_jvm_only(spark):
     lines = to_nquads(quads_to_df(spark, _edge_case_quads()))
     plan = parse_nquads_lines(lines)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_nquads_rdf_star_lines_raise_not_misparse(spark):
+    """The sink can emit RDF-star quoted-triple terms; the columnar
+    parser does not support them — they must hit the malformed branch
+    (loud error), never silently parse into a wrong quad."""
+    from extract_cbd_shape_spark.model import encode_quoted
+
+    q = Quad(
+        encode_quoted(Term.iri(EX + "s"), Term.iri(EX + "p"),
+                      Term.literal("o")),
+        Term.iri(EX + "says"), Term.literal("x"))
+    lines = to_nquads(quads_to_df(spark, [q]))
+    with pytest.raises(Exception, match="malformed N-Quads line"):
+        parse_nquads_lines(lines).collect()
+    assert parse_nquads_lines(lines, on_malformed="drop").count() == 0
