@@ -1058,6 +1058,11 @@ class _Run:
                 )
             )
             lit_work = nw.filter(F.col("node_kind") == LITERAL).dropDuplicates()
+            # Eager checkpoint deliberately kept even for the LAST
+            # round's work set: keeping it lazy was tried (round 4) and
+            # moved the claim aggregate's cost into the loop's isEmpty
+            # probe and _cbd's frontier probes, which re-ran it 2-3x —
+            # one materialization consumed by several eager probes wins.
             work = claim.unionByName(lit_work).localCheckpoint()
             # The claimed rows are inside work's checkpoint — the next
             # round's visited anti-join reads them from there for free.
@@ -1067,15 +1072,27 @@ class _Run:
                 )
             )
 
-        # Wide mode: when the ONLY result parts are the fused CBD join
-        # and the named-graph pickup (pure CBD, or every match path
-        # elided — the common web-corpus regime), the member attribute
-        # columns are attached to the SMALL side (the frontier union /
-        # the pickup's member side) before the store join, so the final
-        # action runs a single full-output shuffle (the dedup) instead
-        # of dedup + a corpus-sized member join. Witness-emitting shapes
-        # and materializing-wave runs keep the legacy narrow layout.
-        wide = bool(self._cbd_emit_frontiers) and not self.result_parts
+        # Wide mode: when CBD emission runs as the ONE fused
+        # (union-of-frontiers x store) join (lean mode), the member
+        # attribute columns are attached to the SMALL side (the
+        # frontier union / the pickup's member side) before the store
+        # join, so the final action never joins the corpus-sized output
+        # against the member table. Applies to pure-CBD/all-paths-elided
+        # runs always, and — under the store_distinct contract — to
+        # witness-emitting runs too: the witness slice is deduplicated
+        # and reconciled against the CBD emission on its own (small)
+        # slice, so the corpus-sized CBD bulk STREAMS with no
+        # full-output exchange at all (see the witness handling below).
+        # Duplicated stores and materializing-wave runs keep the legacy
+        # narrow layout + full-output dedup.
+        lean = bool(self._cbd_emit_frontiers)
+        witness_parts = list(self.result_parts)
+        small_witness = lean and self.ex.store_distinct and bool(witness_parts)
+        wide = lean and (not witness_parts or small_witness)
+        if small_witness:
+            # Witness parts leave result_parts: they re-enter below on
+            # their own deduplicated, visited-reconciled slice.
+            self.result_parts = []
         attr_cols = ["entity", "entity_kind", "shape_key", "input_idx"]
 
         # Lean-mode fused CBD emission: one (union-of-frontiers x store)
@@ -1132,6 +1149,52 @@ class _Run:
         ).select("m.member_id", *[f"t.{c}" for c in QUAD_COLS],
                  *pickup_attrs)
         self.result_parts.append(pickup)
+
+        if small_witness:
+            # Witness quads are a narrow, witness-scaled slice (#paths x
+            # #members rows, never corpus-sized): dedup THEM, not the
+            # full output. Under store_distinct a witness quad is in the
+            # fused CBD emission iff its subject node is CBD-visited for
+            # the same member — the store holds one copy of the quad,
+            # CBD emitted every quad of every visited subject under the
+            # SAME per-member _graph_filter the witness match applied —
+            # so a left-anti join against the (bookkeeping-sized)
+            # visited set removes exactly the overlap and the
+            # corpus-sized CBD bulk needs no dedup exchange. The one
+            # CBD-only row filter witnesses don't share is the
+            # cbdDefaultGraph graph-IS-NULL restriction: with that flag
+            # the anti-join narrows to the default-graph witness slice
+            # (named witness rows flow into the named-slice dedup with
+            # the pickup below).
+            wit = witness_parts[0]
+            for p in witness_parts[1:]:
+                wit = wit.unionByName(p)
+            wit = wit.dropDuplicates(["member_id", *QUAD_COLS])
+            visited = self._visited_cbd_df().select(
+                "member_id",
+                F.col("node").alias("subject"),
+                F.col("node_kind").alias("subject_kind"),
+            )
+            anti_keys = ["member_id", "subject", "subject_kind"]
+            if self.ex.cbd_default_graph:
+                wit = (
+                    wit.filter(F.col("graph").isNull())
+                    .join(visited, anti_keys, "left_anti")
+                    .unionByName(
+                        wit.filter(F.col("graph").isNotNull())
+                    )
+                )
+            else:
+                wit = wit.join(visited, anti_keys, "left_anti")
+            # attrs ride the (small) witness slice — shuffle_hash keeps
+            # AQE free to broadcast the member side when it fits.
+            wit = wit.join(
+                self.members_df.hint("shuffle_hash").select(
+                    "member_id", *attr_cols
+                ),
+                "member_id",
+            )
+            self.result_parts.append(wit)
 
         results = self.result_parts[0] if self.result_parts else pickup.limit(0)
         for p in self.result_parts[1:]:

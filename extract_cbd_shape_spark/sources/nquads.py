@@ -15,9 +15,15 @@ reference bin/extract.ts:61-64) emits plus comments/blank lines:
 
 * IRI / blank-node subjects and graphs, IRI predicates;
 * IRI / blank / literal objects with ``@lang`` or ``^^<datatype>``;
-* string escapes ``\\\\ \\" \\n \\r \\t`` (the N-Triples ECHAR set our
-  serializer produces; ``\\uXXXX`` is NOT decoded — lines carrying it
-  are surfaced, not silently mangled, see below).
+* string escapes ``\\\\ \\" \\n \\r \\t`` ONLY (the N-Triples ECHAR
+  subset our serializer produces). Any other escape in a literal —
+  spec-legal UCHAR ``\\uXXXX``/``\\UXXXXXXXX`` as well as ``\\b``/
+  ``\\f`` — fails the line grammar and takes the malformed branch
+  (raise by default, drop in permissive mode): surfaced loudly, never
+  a silently-unescaped value (ADVICE r3).
+* Comments/blank lines may be space- or tab-indented; trailing
+  same-line comments after the terminating dot are NOT supported and
+  hit the malformed branch.
 
 RDF-star quoted-triple terms (``<< ... >>``, model.QUOTED — the sink
 can emit them) are NOT parsed: grammar nesting is beyond a single
@@ -49,7 +55,11 @@ from extract_cbd_shape_spark.model import (
 # Term alternatives mirror the N-Quads grammar for the subset above.
 _IRI = r"<[^<>\"{}|^`\\\x00-\x20]*>"
 _BLANK = r"_:[^\s<>\"]+"
-_LIT = r'"(?:[^"\\\n\r]|\\.)*"(?:@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*|\^\^<[^<>\"\s]*>)?'
+# Literal escapes restricted to the five ECHARs this reader decodes —
+# any other backslash sequence makes the whole line fail LINE_RE and
+# surface as malformed instead of parsing with the raw escape text
+# left in object_value (ADVICE r3 medium).
+_LIT = r'"(?:[^"\\\n\r]|\\["\\nrt])*"(?:@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*|\^\^<[^<>\"\s]*>)?'
 _SUBJ = f"({_IRI}|{_BLANK})"
 _PRED = f"({_IRI})"
 _OBJ = f"({_IRI}|{_BLANK}|{_LIT})"
@@ -91,8 +101,11 @@ def parse_nquads_lines(lines: DataFrame, col: str = "line",
     if on_malformed not in ("error", "drop"):
         raise ValueError(f"on_malformed must be error|drop: {on_malformed}")
     line = F.col(col)
+    # Raw-line match, not ltrim: N-Quads whitespace is space OR tab,
+    # and ltrim trims only spaces — a tab-indented comment or tab-only
+    # line must not fall through to the malformed branch (ADVICE r3).
     src = lines.select(line.alias("line")).filter(
-        ~F.regexp_like(F.ltrim(F.col("line")), F.lit(r"^(#|$)"))
+        ~F.regexp_like(F.col("line"), F.lit(r"^[ \t]*(#|$)"))
     )
     parts = src.select(
         F.col("line"),
@@ -118,8 +131,9 @@ def parse_nquads_lines(lines: DataFrame, col: str = "line",
 
     o = F.col("o_raw")
     o_is_lit = o.startswith('"')
-    # Literal decomposition: body up to the closing quote, then suffix.
-    lit_body = F.regexp_extract(o, r'^"((?:[^"\\]|\\.)*)"', 1)
+    # Literal decomposition: body up to the closing quote, then suffix
+    # (same ECHAR-only escape alternative as LINE_RE).
+    lit_body = F.regexp_extract(o, r'^"((?:[^"\\]|\\["\\nrt])*)"', 1)
     lang = F.regexp_extract(o, r'"@([A-Za-z0-9-]+)$', 1)
     dtype = F.regexp_extract(o, r'"\^\^<([^<>]*)>$', 1)
     o_node_val, o_node_kind = _node(o)

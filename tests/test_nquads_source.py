@@ -83,6 +83,37 @@ def test_nquads_parse_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_nquads_non_echar_escapes_raise_not_mangle(spark, tmp_path):
+    """ADVICE r3: spec-legal UCHAR escapes (\\u0041) and the
+    unsupported ECHARs \\b/\\f are NOT decoded by this reader — lines
+    carrying them must take the malformed branch (loud under the
+    default mode, dropped in permissive mode), never parse with the
+    raw escape text left in object_value."""
+    p = tmp_path / "uchar.nq"
+    p.write_text(
+        f'<{EX}s> <{EX}p> "A\\u0041B" .\n'
+        f'<{EX}s> <{EX}p> "A\\fB" .\n'
+        f'<{EX}s> <{EX}p> "plain\\tok" .\n'
+    )
+    with pytest.raises(Exception, match="malformed N-Quads line"):
+        read_nquads(spark, str(p)).collect()
+    rows = read_nquads(spark, str(p), on_malformed="drop").collect()
+    assert len(rows) == 1 and rows[0].object_value == "plain\tok"
+
+
+def test_nquads_tab_indented_comments_and_blanks(spark, tmp_path):
+    """ADVICE r3: N-Quads whitespace is space OR tab — tab-indented
+    comments and tab-only blank lines are dropped, not 'malformed'."""
+    p = tmp_path / "tabs.nq"
+    p.write_text(
+        "\t# tab-indented comment\n"
+        "\t\t\n"
+        f"\t<{EX}s> <{EX}p> <{EX}o> .\n"
+    )
+    rows = read_nquads(spark, str(p)).collect()
+    assert len(rows) == 1 and rows[0].subject == EX + "s"
+
+
 def test_nquads_rdf_star_lines_raise_not_misparse(spark):
     """The sink can emit RDF-star quoted-triple terms; the columnar
     parser does not support them — they must hit the malformed branch
