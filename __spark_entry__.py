@@ -629,7 +629,9 @@ def _q_url_canonical_dedup(spark, sf_dir):
     kept = url_dedup(m).select(
         "canonical_url", F.col("url").alias("kept_url")
     )
-    return per_doc.join(kept, "canonical_url")
+    return per_doc.join(kept, "canonical_url").select(
+        "doc_id", "canonical_url", "kept_url"
+    )
 
 
 def _q_text_metrics(spark, sf_dir):
@@ -1128,6 +1130,94 @@ def _q_nquads_roundtrip(spark, sf_dir):
         F.col("object_kind").cast("int").alias("object_kind"),
         "object_lang", "object_datatype", "graph",
         F.col("graph_kind").cast("int").alias("graph_kind"),
+    )
+
+
+def _q_turtle_roundtrip(spark, sf_dir):
+    """Distributed Turtle/TriG source (sources/turtle.py): synthesize a
+    deterministic Turtle document per sampled orders row — prefixed
+    names, plain/lang/integer/ECHAR-escaped literals, an IRI object, an
+    explicit blank-node label, and a TriG named-graph block — parse
+    them file-per-task with the worker-side parser, and compare against
+    an oracle that produces the same quads straight from `orders`
+    (which never sees the serialization): hash equality proves
+    serialize -> distributed-parse is the identity, including the
+    md5(src)-scoped blank labels (two documents' _:a must not merge).
+    Reference ingest surface: every fixture loads .ttl via
+    rdf-dereference (tests/03 .../without-shape.test.ts:58-66)."""
+    from extract_cbd_shape_spark.sources.turtle import parse_turtle_documents
+
+    s = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").cast("string").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderpriority").alias("pr"),
+            F.col("o_custkey").cast("string").alias("c"),
+        )
+    )
+    k = F.col("k")
+    nl = F.lit("\n")
+    text = F.concat(
+        F.lit("@prefix ex: <http://example.org/> ."), nl,
+        F.lit("ex:o"), k, F.lit(' ex:status "'), F.col("st"), F.lit('" ;'), nl,
+        F.lit('  ex:prio "'), F.col("pr"), F.lit('"@en ;'), nl,
+        F.lit("  ex:cust <http://c.example/"), F.col("c"), F.lit("> ;"), nl,
+        F.lit("  ex:addr _:a ."), nl,
+        F.lit("_:a ex:pc "), k, F.lit(' ; ex:tag "x\\ny" .'), nl,
+        F.lit("ex:g"), k, F.lit(" { ex:o"), k, F.lit(" ex:in ex:q . }"), nl,
+    )
+    docs = s.select(F.concat(F.lit("doc:"), k).alias("src"),
+                    text.alias("text"))
+    parsed = parse_turtle_documents(docs)
+    return parsed.select(
+        "subject", F.col("subject_kind").cast("int").alias("subject_kind"),
+        "predicate", "object_value",
+        F.col("object_kind").cast("int").alias("object_kind"),
+        "object_lang", "object_datatype", "graph",
+        F.col("graph_kind").cast("int").alias("graph_kind"),
+    )
+
+
+def _q_bgp_path(spark, sf_dir):
+    """SPARQL property paths through the BGP surface (operators/bgp.py
+    parse_path -> the extraction engine's own Path algebra): a 2-hop
+    sequence composed with a one-or-more closure —
+    ``kbo:activity/kg:nextAct+`` over the KBO graph plus a synthetic
+    49-edge next-activity chain (cyclic within each decade of act IRIs,
+    so the closure runs the pointer-jumping transitive-closure loop on
+    a functional edge set). Bag semantics preserved through the
+    sequence hop (two activities reaching the same target keep two
+    rows); aggregated per target so the driver compare stays small
+    while still hashing the full closure content."""
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+
+    triples, _ = kbo_members(spark, sf_dir)
+    nine = F.col("id") % 10
+    chain = (
+        spark.range(0, 50)
+        .filter(nine != 9)
+        .select(
+            F.concat(F.lit("act:"), F.col("id")).alias("subject"),
+            F.lit(IRI).cast("tinyint").alias("subject_kind"),
+            F.lit("kg:nextAct").alias("predicate"),
+            F.concat(F.lit("act:"), F.col("id") + 1).alias("object_value"),
+            F.lit(IRI).cast("tinyint").alias("object_kind"),
+            F.lit(None).cast("string").alias("object_lang"),
+            F.lit(None).cast("string").alias("object_datatype"),
+            F.lit(None).cast("string").alias("graph"),
+            F.lit(None).cast("tinyint").alias("graph_kind"),
+        )
+    )
+    g = triples.unionByName(chain)
+    sol = bgp_match(g, [
+        ("?m", "kbo:legalName", "?name"),
+        ("?m", parse_path("kbo:activity/kg:nextAct+"), "?act"),
+    ], select=["?m", "?act"])
+    return sol.groupBy("act").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("m").alias("n_members"),
     )
 
 
@@ -1760,39 +1850,30 @@ h AS (SELECT doc_id, md5(tok) AS h FROM tok),
 votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
 SELECT doc_id, {_SIMHASH_SUM} AS simhash FROM votes
 """,
-        "url_canonical": f"""
-WITH {_URL_CANON_CTES}
-SELECT doc_id, canonical_url FROM canon
+        "url_canonical_dedup": f"""
+WITH {_URL_CANON_CTES},
+kept AS (SELECT canonical_url, arg_max(url, warc_ts) AS kept_url
+         FROM canon GROUP BY canonical_url)
+SELECT c.doc_id, c.canonical_url, k.kept_url
+FROM canon c JOIN kept k USING (canonical_url)
 """,
-        "url_dedup": f"""
-WITH {_URL_CANON_CTES}
-SELECT canonical_url, arg_max(url, warc_ts) AS kept_url
-FROM canon GROUP BY canonical_url
-""",
-        "token_count": f"""
-SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
-""",
-        "lang_id": f"""
-WITH s AS (SELECT doc_id, {_lang_scores_sql()}
-           FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents))
-SELECT doc_id, {_LANG_CASE} AS predicted_lang FROM s
-""",
-        "quality_score": f"""
-WITH b AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents)
-SELECT doc_id,
-       length(text) AS n_chars,
-       len(t) AS n_tokens,
-       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0
-             / greatest(length(text), 1), 4) AS punct_ratio,
-       round(len(list_filter(t, x -> list_contains(['the','and','of','to','in'], x))) * 1.0
-             / greatest(len(t), 1), 4) AS stopword_ratio
-FROM b
-""",
-        "doc_fingerprint": f"""
-WITH b AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-sh AS (SELECT doc_id, {_SH5} AS s FROM b)
-SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fingerprint
-FROM sh WHERE len(s) > 0
+        "text_metrics": f"""
+WITH b AS (SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+s AS (SELECT doc_id, {_lang_scores_sql()}
+      FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents)),
+sh AS (SELECT doc_id, {_SH5} AS s FROM b),
+fp AS (SELECT doc_id, list_min(list_transform(s, x -> md5(x))) AS fingerprint
+       FROM sh WHERE len(s) > 0)
+SELECT b.doc_id,
+       length(b.text) AS n_chars,
+       len(b.t) AS n_tokens,
+       round(length(regexp_replace(b.text, '[^.!?,;:]', '', 'g')) * 1.0
+             / greatest(length(b.text), 1), 4) AS punct_ratio,
+       round(len(list_filter(b.t, x -> list_contains(['the','and','of','to','in'], x))) * 1.0
+             / greatest(len(b.t), 1), 4) AS stopword_ratio,
+       {_LANG_CASE} AS predicted_lang,
+       fp.fingerprint AS fingerprint
+FROM b JOIN s USING (doc_id) LEFT JOIN fp USING (doc_id)
 """,
         "decontaminate": f"""
 WITH {_CORPUS_CTE.strip()},
@@ -1808,24 +1889,24 @@ FROM pg JOIN bg ON pg.s = bg.s
 GROUP BY pg.doc_id ORDER BY pg.doc_id
 """,
         "pii_redact": _pii_oracle_sql(),
-        "dup_lines": """
+        "repetition_quality": f"""
 WITH c AS (SELECT doc_id, concat_ws(chr(10), substr(text, 1, 30),
                substr(text, 1 + (doc_id % 5) * 6, 30),
                substr(text, 1, 30)) AS text
            FROM documents),
-l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM c)
-SELECT doc_id, len(ls) AS n_lines,
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM c),
+lines AS (SELECT doc_id, len(ls) AS n_lines,
        round(1.0 - len(list_distinct(ls)) * 1.0 / greatest(len(ls), 1), 4)
            AS dup_line_frac
-FROM l
-""",
-        "top_bigram": f"""
-WITH b AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+       FROM l),
+b AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
 g AS (SELECT doc_id, unnest({_SH2}) AS s FROM b),
-cnt AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY doc_id, s)
-SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+cnt AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY doc_id, s),
+bg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
        round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
-FROM cnt GROUP BY doc_id
+       FROM cnt GROUP BY doc_id)
+SELECT lines.doc_id, n_lines, dup_line_frac, n_bigrams, top_bigram_frac
+FROM lines LEFT JOIN bg USING (doc_id)
 """,
         "pack_sequences": f"""
 WITH w AS (SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents),
@@ -2028,36 +2109,29 @@ SELECT lang,
        count(*)::BIGINT AS n_pages
 FROM g GROUP BY lang, sid
 """,
-        "media_decode": f"""
-WITH {_MEDIA_CTE.strip()}
-SELECT media_id, kind, width, height,
+        "media_pipeline": f"""
+WITH {_MEDIA_CTE.strip()},
+fr AS (SELECT media_id, count(*) AS n_frames, max((i * 500)::INT) AS last_ts_ms
+       FROM (SELECT media_id, unnest(range(0, duration_ms // 500)) AS i
+             FROM media WHERE kind = 'video')
+       GROUP BY media_id)
+SELECT m.media_id, m.kind, m.width, m.height,
        length(payload_str) AS payload_len,
-       md5(payload_str) AS checksum
-FROM media
-""",
-        "media_frames": f"""
-WITH {_MEDIA_CTE.strip()}
-SELECT media_id, i::INT AS frame_idx, (i * 500)::INT AS ts_ms
-FROM (SELECT media_id, unnest(range(0, duration_ms // 500)) AS i
-      FROM media WHERE kind = 'video')
-""",
-        "media_resize": f"""
-WITH {_MEDIA_CTE.strip()}
-SELECT media_id, kind,
-       CASE WHEN width IS NULL THEN NULL ELSE least(width, 32) END AS width,
-       CASE WHEN height IS NULL THEN NULL ELSE least(height, 32) END AS height,
-       CASE WHEN width IS NULL THEN length(payload_str)
-            ELSE greatest(1, (length(payload_str)
-                 * least(width, 32) * least(height, 32)) // (width * height))
-       END::INT AS payload_len
-FROM media
-""",
-        "media_features": f"""
-WITH {_MEDIA_CTE.strip()}
-SELECT media_id,
+       md5(payload_str) AS checksum,
+       CASE WHEN m.width IS NULL THEN NULL
+            ELSE least(m.width, 32) END AS rs_width,
+       CASE WHEN m.height IS NULL THEN NULL
+            ELSE least(m.height, 32) END AS rs_height,
+       (CASE WHEN m.width IS NULL THEN length(payload_str)
+             ELSE greatest(1, (length(payload_str)
+                  * least(m.width, 32) * least(m.height, 32))
+                  // (m.width * m.height))
+        END)::INT AS rs_payload_len,
+       fr.n_frames AS n_frames,
+       fr.last_ts_ms AS last_ts_ms,
        array_to_string(list_transform(range(1, 9),
            j -> ascii(substr(payload_str, j::INT, 1))), ',') AS feat
-FROM media
+FROM media m LEFT JOIN fr USING (media_id)
 """,
         "rdfs_entail_kbo": """
 WITH m AS (SELECT o_orderkey AS k FROM orders)
@@ -2190,6 +2264,59 @@ SELECT * FROM (
   UNION ALL SELECT 'o:'||k, 0, 'ex:self', 'o:'||k, 0, NULL, NULL,
          'bg'||k, 1 FROM s
 )
+""",
+        # The oracle never sees the Turtle serialization: it produces
+        # the same quads straight from `orders` (blank labels scoped
+        # with the SAME md5(src)[:16] skolem the source applies).
+        "turtle_roundtrip": """
+WITH s AS (
+  SELECT o_orderkey::VARCHAR AS k, o_orderstatus AS st,
+         o_orderpriority AS pr, o_custkey::VARCHAR AS c,
+         substr(md5('doc:' || o_orderkey::VARCHAR), 1, 16) AS fp
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT * FROM (
+  SELECT 'http://example.org/o'||k AS subject, 0 AS subject_kind,
+         'http://example.org/status' AS predicate, st AS object_value,
+         2 AS object_kind, NULL AS object_lang,
+         'http://www.w3.org/2001/XMLSchema#string' AS object_datatype,
+         NULL AS graph, NULL AS graph_kind FROM s
+  UNION ALL SELECT 'http://example.org/o'||k, 0,
+         'http://example.org/prio', pr, 2, 'en',
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#langString',
+         NULL, NULL FROM s
+  UNION ALL SELECT 'http://example.org/o'||k, 0,
+         'http://example.org/cust', 'http://c.example/'||c, 0,
+         NULL, NULL, NULL, NULL FROM s
+  UNION ALL SELECT 'http://example.org/o'||k, 0,
+         'http://example.org/addr', fp||':a', 1,
+         NULL, NULL, NULL, NULL FROM s
+  UNION ALL SELECT fp||':a', 1, 'http://example.org/pc', k, 2,
+         NULL, 'http://www.w3.org/2001/XMLSchema#integer',
+         NULL, NULL FROM s
+  UNION ALL SELECT fp||':a', 1, 'http://example.org/tag',
+         'x' || chr(10) || 'y', 2,
+         NULL, 'http://www.w3.org/2001/XMLSchema#string',
+         NULL, NULL FROM s
+  UNION ALL SELECT 'http://example.org/o'||k, 0,
+         'http://example.org/in', 'http://example.org/q', 0,
+         NULL, NULL, 'http://example.org/g'||k, 0 FROM s
+)
+""",
+        # Closure mirror: from act a, nextAct+ reaches a+1 .. end of
+        # a's decade (the chain stops before every act ending in 9).
+        # Bag semantics through the sequence hop: one row per
+        # (member, source-activity, reached-activity).
+        "bgp_path": """
+WITH m AS (SELECT o_orderkey AS k FROM orders),
+acts AS (SELECT k, unnest([k % 50, (k + 7) % 50, (k + 13) % 50]) AS a FROM m),
+reach AS (SELECT a, unnest(range(a + 1, (a // 10) * 10 + 10)) AS r
+          FROM (SELECT DISTINCT a FROM acts))
+SELECT 'act:' || r AS act,
+       count(*) AS n_rows,
+       count(DISTINCT k) AS n_members
+FROM acts JOIN reach USING (a)
+GROUP BY 1
 """,
     }
     # store-local inverse extraction: identical expected quad set as the

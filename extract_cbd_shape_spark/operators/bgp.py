@@ -37,6 +37,18 @@ from typing import Optional, Sequence, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from extract_cbd_shape_spark.shapes.ast import (
+    AlternativePath,
+    InversePath,
+    MultiPath,
+    OneOrMorePath,
+    Path,
+    PredicatePath,
+    SequencePath,
+    ZeroOrMorePath,
+    ZeroOrOnePath,
+)
+
 _POS = ("subject", "predicate", "object_value")
 _KIND = {"subject": "subject_kind", "object_value": "object_kind"}
 
@@ -45,9 +57,240 @@ def _is_var(term) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+# ------------------------------------------------------------ property paths
+
+
+def parse_path(expr: str) -> Path:
+    """Parse a compact SPARQL-property-path expression into the shared
+    Path AST (shapes/ast.py — the SAME classes the extraction engine
+    compiles, so BGP consumption and shape-guided construction share
+    one path algebra). Grammar subset::
+
+        alt  := seq ('|' seq)*
+        seq  := step ('/' step)*
+        step := '^' step | prim ('+'|'*'|'?')*
+        prim := '(' alt ')' | PREDICATE
+
+    PREDICATE is any run of characters outside ``/|^+*?()`` and
+    whitespace — fine for prefixed names (``kbo:activity``); full IRIs
+    containing ``/`` must be passed as AST objects instead."""
+    tokens = []
+    buf = []
+    for ch in expr:
+        if ch in "/|^+*?()":
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+            tokens.append(ch)
+        elif ch.isspace():
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        tokens.append("".join(buf))
+    pos = 0
+
+    def peek():
+        return tokens[pos] if pos < len(tokens) else None
+
+    def take():
+        nonlocal pos
+        t = tokens[pos]
+        pos += 1
+        return t
+
+    def alt() -> Path:
+        branches = [seq()]
+        while peek() == "|":
+            take()
+            branches.append(seq())
+        return branches[0] if len(branches) == 1 else AlternativePath(branches)
+
+    def seq() -> Path:
+        steps = [step()]
+        while peek() == "/":
+            take()
+            steps.append(step())
+        return steps[0] if len(steps) == 1 else SequencePath(steps)
+
+    def step() -> Path:
+        if peek() == "^":
+            take()
+            return InversePath(step())
+        p = prim()
+        while peek() in ("+", "*", "?"):
+            mod = take()
+            p = {"+": OneOrMorePath, "*": ZeroOrMorePath,
+                 "?": ZeroOrOnePath}[mod](p)
+        return p
+
+    def prim() -> Path:
+        t = peek()
+        if t == "(":
+            take()
+            p = alt()
+            if peek() != ")":
+                raise ValueError(f"unbalanced '(' in path {expr!r}")
+            take()
+            return p
+        if t is None or t in "/|^+*?()":
+            raise ValueError(f"malformed path expression {expr!r}")
+        return PredicatePath(take())
+
+    out = alt()
+    if pos != len(tokens):
+        raise ValueError(f"trailing tokens in path expression {expr!r}")
+    return out
+
+
+def _graph_terms(triples: DataFrame) -> DataFrame:
+    """All terms of the graph, as (node) — the SPARQL zero-length-path
+    domain (every subject and object; one distinct over two narrow
+    projections)."""
+    return (
+        triples.select(F.col("subject").alias("node"))
+        .unionByName(triples.select(F.col("object_value").alias("node")))
+        .distinct()
+    )
+
+
+def _path_pairs(triples: DataFrame, path: Path,
+                src_const: Optional[str] = None) -> DataFrame:
+    """Compile a Path into its solution pairs ``(_src, _dst)``.
+
+    Bag semantics for predicate/inverse/sequence/alternative (SPARQL
+    path evaluation is multiset there); DISTINCT pairs for +/*/?
+    (SPARQL defines closure paths as distinct-node reachability —
+    that's also what keeps the iteration finite on cycles).
+
+    ``src_const``: when the pattern's subject is a constant, closure
+    variants seed the reachability iteration from that single node
+    instead of every edge source — the bound-subject fast path (the
+    frontier never exceeds the reachable set). Non-closure paths
+    filter afterwards; Catalyst pushes that filter into the scan.
+
+    100 TB shape: each hop is an equi-join on the triples table's
+    subject clustering; closures delegate to operators/closure.py's
+    iterate-persist loop (only the frontier shuffles per round)."""
+    if isinstance(path, PredicatePath):
+        return triples.filter(
+            F.col("predicate") == F.lit(path.predicate)
+        ).select(
+            F.col("subject").alias("_src"),
+            F.col("object_value").alias("_dst"),
+        )
+    if isinstance(path, InversePath):
+        inner = _path_pairs(triples, path.path)
+        return inner.select(
+            F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
+        )
+    if isinstance(path, SequencePath):
+        cur = _path_pairs(triples, path.sequence[0], src_const=src_const)
+        for stp in path.sequence[1:]:
+            nxt = _path_pairs(triples, stp).select(
+                F.col("_src").alias("_mid"), F.col("_dst").alias("_nxt")
+            )
+            cur = cur.join(nxt, cur["_dst"] == F.col("_mid")).select(
+                cur["_src"].alias("_src"), F.col("_nxt").alias("_dst")
+            )
+        return cur
+    if isinstance(path, AlternativePath):
+        outs = [_path_pairs(triples, b) for b in path.alternatives]
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res
+    if isinstance(path, MultiPath):
+        return _closure_pairs(triples, path, src_const=src_const)
+    raise ValueError(f"unsupported path type: {type(path).__name__}")
+
+
+def _closure_pairs(triples: DataFrame, path: MultiPath,
+                   src_const: Optional[str] = None) -> DataFrame:
+    """+ / * / ? solution pairs via the package's transitive-closure
+    operator (large-frontier BFS / pointer jumping, checkpoint per
+    round — operators/closure.py:19)."""
+    from extract_cbd_shape_spark.operators.closure import transitive_closure
+
+    one = _path_pairs(triples, path.path).dropDuplicates(["_src", "_dst"])
+    spark = triples.sparkSession
+    if isinstance(path, ZeroOrOnePath):
+        zero = _graph_terms(triples)
+        if src_const is not None:
+            zero = zero.filter(F.col("node") == F.lit(src_const))
+        pairs = one.unionByName(
+            zero.select(F.col("node").alias("_src"),
+                        F.col("node").alias("_dst"))
+        )
+        return pairs.dropDuplicates(["_src", "_dst"])
+    # + and *: star(seed, node) = 0-or-more-hop reachability from the
+    # seed set; plus = star composed with one more hop (cycles land a
+    # (s, s) pair through the composition, never through the seed row).
+    if src_const is not None:
+        seeds = spark.createDataFrame([(src_const,)], "node string")
+    else:
+        seeds = one.select(F.col("_src").alias("node")).distinct()
+    star = transitive_closure(
+        one.select(F.col("_src").alias("src"), F.col("_dst").alias("dst")),
+        seeds,
+        include_seeds=True,
+    )
+    plus = (
+        star.join(one, star["node"] == one["_src"])
+        .select(star["seed"].alias("_src"), one["_dst"].alias("_dst"))
+        .dropDuplicates(["_src", "_dst"])
+    )
+    if isinstance(path, OneOrMorePath):
+        return plus
+    # ZeroOrMorePath: zero-length solutions range over EVERY graph term
+    # (SPARQL zero-length-path domain), not just this predicate's
+    # endpoints.
+    zero = _graph_terms(triples)
+    if src_const is not None:
+        zero = zero.filter(F.col("node") == F.lit(src_const))
+    return plus.unionByName(
+        zero.select(F.col("node").alias("_src"), F.col("node").alias("_dst"))
+    ).dropDuplicates(["_src", "_dst"])
+
+
+def _compile_path_pattern(triples: DataFrame, pat, with_kinds: bool) -> DataFrame:
+    s, path, o = pat
+    if with_kinds:
+        raise ValueError(
+            "with_kinds is not supported for property-path patterns: "
+            "closure endpoints lose kind columns; disambiguate by value "
+            "space (doc:/_:/plain) as the engine's tables do"
+        )
+    pairs = _path_pairs(
+        triples, path, src_const=None if _is_var(s) else s
+    )
+    df = pairs
+    cols = []
+    if _is_var(s):
+        if not s[1:]:
+            raise ValueError(f"bare '?' in pattern {pat!r}")
+        cols.append(F.col("_src").alias(s[1:]))
+    else:
+        df = df.filter(F.col("_src") == F.lit(s))
+    if _is_var(o):
+        if not o[1:]:
+            raise ValueError(f"bare '?' in pattern {pat!r}")
+        if o == s:
+            df = df.filter(F.col("_src") == F.col("_dst"))
+        else:
+            cols.append(F.col("_dst").alias(o[1:]))
+    else:
+        df = df.filter(F.col("_dst") == F.lit(o))
+    return df.select(*cols)
+
+
 def _compile_pattern(triples: DataFrame, pat, with_kinds: bool) -> DataFrame:
     if len(pat) != 3:
         raise ValueError(f"pattern must be (s, p, o): {pat!r}")
+    if isinstance(pat[1], Path):
+        return _compile_path_pattern(triples, pat, with_kinds)
     df = triples
     cols = []
     seen = {}
@@ -100,14 +343,30 @@ def bgp_match(
     cartesian product (allowed, as in SPARQL, but usually a query
     bug — keep patterns connected).
 
+    The PREDICATE position may also be a property path — a
+    ``shapes.ast.Path`` object (the same algebra the extraction engine
+    compiles) or ``parse_path("a/b|^c")``-style sugar. Sequences chain
+    equi-joins, alternatives union, inverses flip ends; ``+``/``*``/
+    ``?`` run the package's transitive-closure loop with distinct-pair
+    semantics (bound subjects seed the closure from that node alone).
+    ``with_kinds`` is not supported on path patterns.
+
     ``optional``: SPARQL OPTIONAL groups. Each group is itself a BGP
     (a pattern list) compiled and LEFT-joined to the accumulated
     solution on its shared variables (groups apply in order, each
     seeing earlier groups' bindings); its exclusive variables are null
-    where the group found no match — exactly SPARQL's compatible-
-    solution extension for well-designed patterns. A group sharing no
-    variable with the solution raises (that's a cross-join OPTIONAL —
-    reject loudly rather than explode).
+    where the group found no match — SPARQL's compatible-solution
+    extension for well-designed patterns. A group sharing no variable
+    with the solution raises (that's a cross-join OPTIONAL — reject
+    loudly rather than explode). DOCUMENTED DEVIATION (ADVICE r3): the
+    groups compile to sequential SQL left joins, whose join keys are
+    NULL-rejecting — when a later group joins on an EARLIER group's
+    optional binding (a non-well-designed pattern, pinned by
+    tests/test_bgp.py), a row whose earlier binding is unbound keeps
+    its NULLs here, whereas SPARQL's compatible-mapping LeftJoin would
+    join that row with every right-side solution. Keep patterns
+    well-designed (each optional group's shared vars bound by the
+    REQUIRED part) to stay inside exact-SPARQL territory.
 
     ``filters``: SPARQL FILTER expressions as Spark SQL boolean strings
     over the variable columns (e.g. ``"pc < '5000'"``); applied after

@@ -129,3 +129,113 @@ def test_disconnected_optional_raises(spark, triples):
     with pytest.raises(ValueError, match="OPTIONAL group shares no variable"):
         bgp_match(triples, [("?m", "kbo:legalName", "?name")],
                   optional=[[("?x", "kbo:postCode", "?pc")]])
+
+
+# ---------------------------------------------------------- property paths
+
+
+@pytest.fixture(scope="module")
+def chain_triples(spark):
+    rows = list(_T) + [
+        ("n:1", 0, "kg:next", "n:2", 0),
+        ("n:2", 0, "kg:next", "n:3", 0),
+        ("n:3", 0, "kg:next", "n:4", 0),
+        ("c:1", 0, "kg:next", "c:2", 0),   # cycle
+        ("c:2", 0, "kg:next", "c:1", 0),
+        ("n:1", 0, "kg:alt", "n:9", 0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "subject string, subject_kind tinyint, predicate string, "
+        "object_value string, object_kind tinyint",
+    ).cache()
+
+
+def test_parse_path_grammar():
+    from extract_cbd_shape_spark.operators.bgp import parse_path
+    from extract_cbd_shape_spark.shapes.ast import (
+        AlternativePath, InversePath, OneOrMorePath, PredicatePath,
+        SequencePath, ZeroOrOnePath,
+    )
+
+    p = parse_path("a/b|^c+")
+    assert isinstance(p, AlternativePath)
+    assert isinstance(p.alternatives[0], SequencePath)
+    inv = p.alternatives[1]
+    assert isinstance(inv, InversePath)
+    assert isinstance(inv.path, OneOrMorePath)
+    q = parse_path("(a|b)/c?")
+    assert isinstance(q, SequencePath)
+    assert isinstance(q.sequence[1], ZeroOrOnePath)
+    assert isinstance(parse_path("kbo:x"), PredicatePath)
+    with pytest.raises(ValueError):
+        parse_path("a//b")
+    with pytest.raises(ValueError):
+        parse_path("(a|b")
+
+
+def test_path_sequence_and_inverse(spark, triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+
+    got = {tuple(r) for r in bgp_match(triples, [
+        ("?m", parse_path("kbo:registeredAddress/kbo:postCode"), "?pc"),
+    ]).collect()}
+    assert got == {("m:1", "1000"), ("m:2", "2000")}
+    inv = {tuple(r) for r in bgp_match(triples, [
+        ("?pc", parse_path("^kbo:postCode/^kbo:registeredAddress"), "?m"),
+    ]).collect()}
+    assert inv == {("1000", "m:1"), ("2000", "m:2")}
+
+
+def test_path_alternative_bag_semantics(spark, triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+
+    rows = bgp_match(triples, [
+        ("m:1", parse_path("kbo:legalName|rdf:type"), "?v"),
+    ]).collect()
+    assert sorted(r.v for r in rows) == ["Acme", "kbo:Enterprise"]
+
+
+def test_path_one_or_more_closure_and_cycle(spark, chain_triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+
+    got = {tuple(r) for r in bgp_match(chain_triples, [
+        ("n:1", parse_path("kg:next+"), "?x"),
+    ]).collect()}
+    assert got == {("n:2",), ("n:3",), ("n:4",)}
+    # a cycle must include the self-pair through the loop, and terminate
+    cyc = {tuple(r) for r in bgp_match(chain_triples, [
+        ("c:1", parse_path("kg:next+"), "?x"),
+    ]).collect()}
+    assert cyc == {("c:1",), ("c:2",)}
+
+
+def test_path_zero_or_more_and_zero_or_one(spark, chain_triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+
+    star = {tuple(r) for r in bgp_match(chain_triples, [
+        ("n:2", parse_path("kg:next*"), "?x"),
+    ]).collect()}
+    assert star == {("n:2",), ("n:3",), ("n:4",)}
+    opt = {tuple(r) for r in bgp_match(chain_triples, [
+        ("n:2", parse_path("kg:next?"), "?x"),
+    ]).collect()}
+    assert opt == {("n:2",), ("n:3",)}
+
+
+def test_path_composes_with_plain_patterns(spark, chain_triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+
+    got = {tuple(r) for r in bgp_match(chain_triples, [
+        ("?m", "kbo:legalName", "?name"),
+        ("?m", parse_path("kbo:registeredAddress/kbo:postCode"), "?pc"),
+    ], select=["?name", "?pc"]).collect()}
+    assert got == {("Acme", "1000"), ("Globex", "2000")}
+
+
+def test_path_with_kinds_rejected(spark, triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+
+    with pytest.raises(ValueError, match="with_kinds"):
+        bgp_match(triples, [("?m", parse_path("a/b"), "?x")],
+                  with_kinds=True)

@@ -98,11 +98,12 @@ def test_url_oracle_parity(spark):
         f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
     )
     qs, oracles = entry.queries(), entry.oracle_sql()
-    for name in ("url_canonical", "url_dedup"):
-        sdf = qs[name](spark, sf)
-        srows = sorted(tuple(r) for r in sdf.collect())
-        orows = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
-        assert srows == orows, name
+    name = "url_canonical_dedup"
+    sdf = qs[name](spark, sf)
+    srows = sorted(tuple(r) for r in sdf.collect())
+    orows = sorted(tuple(r) for r in con.execute(oracles[name]).fetchall())
+    assert srows == orows, name
     # dedup must actually merge variants at this sf
     n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
-    assert len(qs["url_dedup"](spark, sf).collect()) < n_docs
+    kept = {r.kept_url for r in sdf.collect()}
+    assert len(kept) < n_docs

@@ -81,13 +81,13 @@ def main() -> int:
         r"PushedFilters: \[.*GreaterThan\(l_shipdate",
     ], [r"BatchEvalPython"])
 
-    # Column pruning: token count reads only (doc_id, text).
-    plan = plan_of(qs["token_count"](spark, SF_DIR))
+    # Column pruning: text metrics read only (doc_id, text).
+    plan = plan_of(qs["text_metrics"](spark, SF_DIR))
     if re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan):
-        print("OK  token_count: ReadSchema pruned to doc_id,text")
+        print("OK  text_metrics: ReadSchema pruned to doc_id,text")
     else:
-        failures.append("token_count")
-        print("FAIL token_count: scan not pruned")
+        failures.append("text_metrics")
+        print("FAIL text_metrics: scan not pruned")
         print(plan[:2000])
 
     # Engine star-join: broadcast of the (small) member seed set is NOT
