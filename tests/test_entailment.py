@@ -100,3 +100,32 @@ def test_entailment_is_idempotent(spark, onto):
     twice = rdfs_entail(once, onto)
     assert {tuple(r) for r in once.collect()} == \
         {tuple(r) for r in twice.collect()}
+
+
+def test_distributed_closure_guard_parity(spark, onto):
+    """VERDICT r3 #6: above collect_max the ontology is never collected
+    — closures run through operators/closure.py pointer jumping — and
+    the result is identical to the driver-side path, cycles included."""
+    from extract_cbd_shape_spark.operators.entailment import (
+        SUBCLASS,
+        distributed_ontology_closures,
+    )
+
+    data = _df(spark, [
+        ("m1", 0, RDF_TYPE, "Enterprise", 0),
+        ("m1", 0, "legalName", "Acme", 2),
+        ("m2", 0, RDF_TYPE, "X", 0),
+    ])
+    cyc = _df(spark, [
+        ("X", 0, SUBCLASS, "Y", 0), ("Y", 0, SUBCLASS, "X", 0),
+    ])
+    big_onto = onto.unionByName(cyc)
+    collected = {tuple(r) for r in rdfs_entail(data, big_onto).collect()}
+    distributed = {tuple(r) for r in rdfs_entail(
+        data, big_onto, collect_max=0).collect()}
+    assert distributed == collected
+    # the distributed closure itself is non-reflexive even through the cycle
+    sc, _, _, _ = distributed_ontology_closures(big_onto)
+    pairs = {(r.a, r.b) for r in sc.collect()}
+    assert ("X", "Y") in pairs and ("Y", "X") in pairs
+    assert ("X", "X") not in pairs and ("Y", "Y") not in pairs
