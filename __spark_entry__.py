@@ -825,20 +825,42 @@ def _q_cosine_topk(spark, sf_dir):
     return cosine_topk(e, q, k=5)
 
 
-def _q_lsh_buckets(spark, sf_dir):
-    return sign_lsh_buckets(_t(spark, sf_dir, "embeddings"))
+def _q_lsh_buckets_topk(spark, sf_dir):
+    """sign-LSH bucket assignment AND bucketed top-k in one driver pair
+    (merged round 4 to stay inside the driver's 50-row artifact cap):
+    every top-k neighbor row carries its neighbor's bucket id, so both
+    operators' outputs flow into the value hash."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    topk = lsh_topk(e, q, k=5, n_planes=8)
+    buckets = sign_lsh_buckets(e).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("neighbor_bucket"),
+    )
+    return topk.join(buckets, "neighbor_id")
+
+
+def _q_shacl_report(spark, sf_dir):
+    """Per-member SHACL conformance report over the KBO corpus with a
+    planted non-conforming slice: orderkeys divisible by 7 lose their
+    required kbo:status quad (kgtriples.kbo_members(incomplete_mod=7)).
+    The report is the reference's requiredAreNotPresent evidence
+    (lib/Shape.ts:92-112) rolled up to one row per member."""
+    from extract_cbd_shape_spark.operators.validate import shacl_report
+
+    triples, members = kbo_members(spark, sf_dir, incomplete_mod=7)
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes,
+                               store_distinct=True)
+    rep = shacl_report(ex, triples, members,
+                       shape=Term(IRI, KBO_SHAPE_IRI))
+    return rep.select("entity", "conforms", "missing")
 
 
 def _q_ivf_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
     return ivf_topk(e, q, k=5, centroid_stride=16, nprobe=2)
-
-
-def _q_lsh_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 8)
-    return lsh_topk(e, q, k=5, n_planes=8)
 
 
 def _q_embedding_dups(spark, sf_dir):
@@ -1262,8 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_connected_components,
         # -- similarity search ---------------------------------------------
         "cosine_topk": _q_cosine_topk,
-        "lsh_buckets": _q_lsh_buckets,
-        "lsh_topk": _q_lsh_topk,
+        "lsh_buckets_topk": _q_lsh_buckets_topk,
         "ivf_topk": _q_ivf_topk,
         "embedding_cosine_dups": _q_embedding_dups,
         # -- multimodal + learned quality ----------------------------------
@@ -1283,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_closure": _q_path_closure,
         "cbd_blank_closure": _q_cbd_blank_closure,
         "shape_extract_order": _q_shape_extract_order,
+        "shacl_report": _q_shacl_report,
         "kbo_bulk_extract": _q_kbo_bulk_extract,
         "kbo_bulk_extract_local": _q_kbo_bulk_extract_local,
         "kbo_bulk_extract_local_ext": _q_kbo_bulk_extract_local_ext,
@@ -1991,23 +2013,8 @@ FROM (SELECT *, row_number() OVER (
       FROM scored)
 WHERE rank <= 5
 """,
-        "lsh_buckets": """
-WITH proj AS (
-  SELECT vec_id, j,
-         sum(x * (((i * 37 + j * 101) % 11) - 5)) AS p
-  FROM (SELECT vec_id,
-               unnest(list_transform(embedding, y -> y::DOUBLE)) AS x,
-               generate_subscripts(embedding, 1) - 1 AS i
-        FROM embeddings)
-  CROSS JOIN range(0, 8) r(j)
-  GROUP BY vec_id, j
-)
-SELECT vec_id,
-       sum(CASE WHEN p > 0 THEN 1 << j ELSE 0 END)::BIGINT AS bucket
-FROM proj GROUP BY vec_id
-""",
         "ivf_topk": _IVF_ORACLE,
-        "lsh_topk": f"""
+        "lsh_buckets_topk": f"""
 WITH proj AS (
   SELECT vec_id, j,
          sum(x * (((i * 37 + j * 101) % 11) - 5)) AS p
@@ -2032,11 +2039,19 @@ scored AS (
   JOIN embeddings e ON e.vec_id = be.vec_id
   WHERE bq.vec_id < 8
 )
-SELECT query_id, neighbor_id, round(score, 4) AS score, rank
+SELECT query_id, neighbor_id, round(score, 4) AS score, rank,
+       nb.bucket AS neighbor_bucket
 FROM (SELECT *, row_number() OVER (
           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-      FROM scored)
+      FROM scored) t
+JOIN buck nb ON nb.vec_id = t.neighbor_id
 WHERE rank <= 5
+""",
+        "shacl_report": """
+SELECT 'm:'||o_orderkey AS entity,
+       (o_orderkey % 7 <> 0) AS conforms,
+       CASE WHEN o_orderkey % 7 = 0 THEN '<kbo:status>' END AS missing
+FROM orders
 """,
         "embedding_cosine_dups": """
 WITH corpus AS (

@@ -286,7 +286,8 @@ def _compile_path_pattern(triples: DataFrame, pat, with_kinds: bool) -> DataFram
     return df.select(*cols)
 
 
-def _compile_pattern(triples: DataFrame, pat, with_kinds: bool) -> DataFrame:
+def _compile_pattern(triples: DataFrame, pat, with_kinds: bool,
+                     literal_cols: bool = False) -> DataFrame:
     if len(pat) != 3:
         raise ValueError(f"pattern must be (s, p, o): {pat!r}")
     if isinstance(pat[1], Path):
@@ -306,17 +307,26 @@ def _compile_pattern(triples: DataFrame, pat, with_kinds: bool) -> DataFrame:
                 cols.append(F.col(pos).alias(name))
                 if with_kinds and pos in _KIND:
                     cols.append(F.col(_KIND[pos]).alias(name + "_kind"))
+                if literal_cols and pos == "object_value":
+                    for suffix in ("lang", "datatype"):
+                        src = f"object_{suffix}"
+                        cols.append(
+                            (F.col(src) if src in triples.columns
+                             else F.lit(None).cast("string"))
+                            .alias(f"{name}_{suffix}")
+                        )
         else:
             df = df.filter(F.col(pos) == F.lit(term))
     return df.select(*cols)
 
 
-def _compile_bgp(triples: DataFrame, patterns, with_kinds: bool) -> DataFrame:
+def _compile_bgp(triples: DataFrame, patterns, with_kinds: bool,
+                 literal_cols: bool = False) -> DataFrame:
     if not patterns:
         raise ValueError("empty basic graph pattern")
     out = None
     for pat in patterns:
-        df = _compile_pattern(triples, pat, with_kinds)
+        df = _compile_pattern(triples, pat, with_kinds, literal_cols)
         if out is None:
             out = df
         else:
@@ -333,6 +343,7 @@ def bgp_match(
     with_kinds: bool = False,
     optional: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
     filters: Optional[Sequence[str]] = None,
+    literal_cols: bool = False,
 ) -> DataFrame:
     """Match a conjunction of (subject, predicate, object) patterns.
 
@@ -376,10 +387,20 @@ def bgp_match(
     Catalyst still pushes filter conjuncts below the joins whenever
     null-semantics allow — write filters declaratively, don't pre-place
     them.
+
+    ``literal_cols``: additionally carry ``<var>_lang`` and
+    ``<var>_datatype`` for variables bound in the OBJECT position (NULL
+    when the triples table has no such columns) — needed by CONSTRUCT
+    templates and by SELECTs that must distinguish ``"chat"@en`` from
+    ``"chat"@fr``. When a variable is bound as an object in SEVERAL
+    patterns the shared lang/datatype columns join too, i.e. the join
+    uses FULL literal identity (value, lang, datatype) — the engine's
+    term-identity rule (lib/Utils.ts:85-92) — instead of the default
+    value-only match.
     """
-    out = _compile_bgp(triples, patterns, with_kinds)
+    out = _compile_bgp(triples, patterns, with_kinds, literal_cols)
     for group in optional or []:
-        df = _compile_bgp(triples, group, with_kinds)
+        df = _compile_bgp(triples, group, with_kinds, literal_cols)
         common = [c for c in out.columns if c in df.columns]
         if not common:
             raise ValueError(
@@ -391,3 +412,138 @@ def bgp_match(
     if select is not None:
         out = out.select(*[v[1:] if _is_var(v) else v for v in select])
     return out.distinct() if distinct else out
+
+
+# ----------------------------------------------------------------- CONSTRUCT
+
+
+def _template_position(out_cols, term, position: str):
+    """Column expressions (value, kind, lang, datatype) for one template
+    position instantiated over the solution columns. ``term`` is a
+    ``?var``, a ``model.Term``, or a bare string (IRI constant)."""
+    from extract_cbd_shape_spark.model import BLANK, IRI, LITERAL, Term
+
+    null_s = F.lit(None).cast("string")
+    if isinstance(term, Term):
+        if term.kind == BLANK:
+            # Fresh blank node per solution (SPARQL 11.2: template
+            # blanks are instantiated once per solution mapping; the
+            # same label across template triples shares the instance).
+            # Deterministic: md5 of (label, every solution binding) —
+            # identical solution mappings collapse to one blank, which
+            # is invisible in the output GRAPH (a set); retried tasks
+            # re-derive the same labels, keeping writes idempotent.
+            ident = F.md5(F.concat_ws(
+                "\x1f", F.lit(term.value),
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                  for c in sorted(out_cols)]))
+            return (F.concat(F.lit("_:c"), ident),
+                    F.lit(BLANK).cast("tinyint"), null_s, null_s)
+        return (F.lit(term.value), F.lit(term.kind).cast("tinyint"),
+                F.lit(term.lang).cast("string"),
+                F.lit(term.datatype).cast("string"))
+    if _is_var(term):
+        name = term[1:]
+        if name not in out_cols:
+            raise ValueError(
+                f"template variable {term} is not bound by the pattern")
+        kind_col = (F.col(f"{name}_kind") if f"{name}_kind" in out_cols
+                    else F.when(F.col(name).startswith("_:"),
+                                F.lit(BLANK).cast("tinyint"))
+                         .otherwise(F.lit(IRI).cast("tinyint")))
+        lang = (F.col(f"{name}_lang") if f"{name}_lang" in out_cols
+                else null_s)
+        dt = (F.col(f"{name}_datatype") if f"{name}_datatype" in out_cols
+              else null_s)
+        if position != "object":
+            lang = dt = null_s
+        return (F.col(name), kind_col, lang, dt)
+    # bare string constant = IRI (blank constants must use Term so the
+    # caller is explicit about cross-solution label sharing)
+    return (F.lit(term), F.lit(IRI).cast("tinyint"), null_s, null_s)
+
+
+def bgp_construct(
+    triples: DataFrame,
+    patterns: Sequence[Tuple[str, str, str]],
+    template: Sequence[Tuple],
+    optional: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
+    filters: Optional[Sequence[str]] = None,
+    with_kinds: bool = True,
+    distinct: bool = True,
+) -> DataFrame:
+    """SPARQL CONSTRUCT over a BGP: evaluate the WHERE patterns
+    (``patterns``/``optional``/``filters`` exactly as `bgp_match`),
+    then instantiate ``template`` — a list of (s, p, o) triples whose
+    positions are ``?var`` bindings, bare-string IRI constants, or
+    ``model.Term`` constants (typed literals, shared blank labels) —
+    once per solution, and return the resulting GRAPH in the engine's
+    flat quad layout (model.QUAD_COLS, default graph).
+
+    Faithful to SPARQL 11.2 semantics:
+
+    - a template triple whose variable is UNBOUND in a solution (an
+      optional that didn't match) is silently omitted for that
+      solution, not emitted with NULLs;
+    - ill-formed instantiations are dropped: literal subjects,
+      blank/literal predicates;
+    - template blank labels yield a fresh blank node per solution,
+      shared across the template's triples for that solution
+      (deterministic md5 labels — see `_template_position`);
+    - the result is a graph, i.e. a SET of triples: one
+      ``dropDuplicates`` over the quad identity (disable with
+      ``distinct=False`` when the consumer dedups anyway, e.g. a
+      `materialize_table` sink feeding `store_distinct` extraction).
+
+    Physical shape at 100 TB: template instantiation is a map-side
+    projection of the solution join (one ``select`` per template
+    triple, unioned — Catalyst shares the underlying join subplan);
+    the only shuffle CONSTRUCT itself adds is the final distinct.
+
+    ``with_kinds=True`` (default) compiles the WHERE side with kind +
+    literal columns so constructed terms keep exact kinds and literal
+    identity; pass False for kind-less tables (property-path WHERE
+    clauses), where variable kinds fall back to the engine's value-
+    space convention (``_:`` prefix = blank, else IRI — literals can
+    then only come from Term constants).
+    """
+    from extract_cbd_shape_spark.model import BLANK, LITERAL, QUAD_COLS
+
+    sol = bgp_match(
+        triples, patterns, with_kinds=with_kinds, optional=optional,
+        filters=filters, literal_cols=with_kinds,
+    )
+    out_cols = sol.columns
+    null_s = F.lit(None).cast("string")
+    parts = []
+    for tpl in template:
+        if len(tpl) != 3:
+            raise ValueError(f"template triple must be (s, p, o): {tpl!r}")
+        s, p, o = tpl
+        sv, sk, _, _ = _template_position(out_cols, s, "subject")
+        pv, pk, _, _ = _template_position(out_cols, p, "predicate")
+        ov, ok, olang, odt = _template_position(out_cols, o, "object")
+        # unbound optional vars drop the instantiation (11.2), and
+        # ill-formed triples are omitted: literal subject, non-IRI
+        # predicate. Filtered on the solution BEFORE projection so the
+        # kind expressions still see their source columns.
+        well_formed = (
+            sv.isNotNull() & pv.isNotNull() & ov.isNotNull()
+            & (sk != F.lit(LITERAL))
+            & (pk != F.lit(LITERAL)) & (pk != F.lit(BLANK))
+        )
+        row = sol.filter(well_formed).select(
+            sv.alias("subject"), sk.alias("subject_kind"),
+            pv.alias("predicate"),
+            ov.alias("object_value"), ok.alias("object_kind"),
+            olang.alias("object_lang"), odt.alias("object_datatype"),
+            null_s.alias("graph"),
+            F.lit(None).cast("tinyint").alias("graph_kind"),
+        )
+        parts.append(row)
+    if not parts:
+        raise ValueError("empty CONSTRUCT template")
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.dropDuplicates(QUAD_COLS) if distinct else out

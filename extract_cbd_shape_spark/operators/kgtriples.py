@@ -173,13 +173,17 @@ def with_store_key(triples: DataFrame, members: DataFrame):
 
 def kbo_members(spark: SparkSession, sf_dir: str,
                 named_graphs: bool = False, replicate: int = 1,
-                inverse_edges: int = 0):
+                inverse_edges: int = 0, incomplete_mod: int = 0):
     """(triples_df, members_df): one ~13-quad member per orders row.
     ``replicate`` unions K disjoint copies (orderkey offset by 10M per
     copy) — used by the scaling bench to size the corpus.
     ``inverse_edges`` adds that many incoming ``kbo:memberOf`` quads
     per member (subjects ``p:<k>:<j>``) — reachable only through an
-    inverse path, never through CBD."""
+    inverse path, never through CBD.
+    ``incomplete_mod``: when > 0, members whose orderkey is divisible
+    by it LOSE their ``kbo:status`` quad — a required path of the KBO
+    shape — giving the corpus a deterministic non-conforming slice for
+    validation-report tests/oracles."""
     orders = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
         .select("o_orderkey")
@@ -262,7 +266,13 @@ def kbo_members(spark: SparkSession, sf_dir: str,
         )
         for (sub, sk, pred, ov, ok, dt) in quad_defs
     ]
-    triples = orders.select(F.inline(F.array(*structs)))
+    triples = orders.select(F.col("o_orderkey"), F.inline(F.array(*structs)))
+    if incomplete_mod:
+        triples = triples.filter(
+            ~((F.col("predicate") == "kbo:status")
+              & (F.col("o_orderkey") % incomplete_mod == 0))
+        )
+    triples = triples.drop("o_orderkey")
     members = orders.select(
         m.alias("entity"),
         F.lit(IRI).cast("tinyint").alias("entity_kind"),

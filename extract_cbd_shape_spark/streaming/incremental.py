@@ -241,3 +241,86 @@ def streaming_page_metrics(pages: DataFrame, watermark: str = "1 hour",
             "lang", "n_pages", "n_chars",
         )
     )
+
+
+DOCS_DDL = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def streaming_corpus_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Continuously dedup a document stream against the corpus built so
+    far — the streaming driver for ``operators.dedup``'s incremental
+    exact-dedup (the operation a 100 TB ingest actually runs per batch).
+
+    Each micro-batch:
+
+    1. reads the accumulated fingerprint index (``out_dir/index``,
+       epoch-partitioned parquet — only md5 keys, ~1/1000 of corpus
+       size, and the read is incremental metadata work for parquet);
+    2. ``dedup_new_against_index`` keeps the batch's novel texts
+       (anti-join vs index + one min-aggregate within the batch —
+       cost ∝ |batch| + |index keys|, never |corpus|);
+    3. appends surviving documents to ``out_dir/docs`` and their
+       fingerprints to the index, both under ``epoch=<batch_id>``
+       partitions written with DYNAMIC partition overwrite — a replayed
+       micro-batch (crash between writes and checkpoint commit)
+       overwrites its own epoch deterministically instead of appending
+       twice, which is what makes the sink exactly-once on top of
+       Structured Streaming's at-least-once foreachBatch contract.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from extract_cbd_shape_spark.operators.dedup import (
+        dedup_new_against_index,
+    )
+
+    index_dir = os.path.join(out_dir, "index")
+    docs_out = os.path.join(out_dir, "docs")
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        try:
+            # STRICTLY earlier epochs only: a replayed batch must not
+            # see its own crashed attempt's fingerprints, or the
+            # anti-join would drop the whole batch and the epoch
+            # overwrite would erase it (batch ids are monotone, so
+            # epoch < batch_id is exactly "the committed past").
+            index = (
+                sp.read.parquet(index_dir)
+                .filter(F.col("epoch") < batch_id)
+                .select("text_hash")
+            )
+        except Exception:  # first batch: no index directory yet
+            index = sp.createDataFrame([], "text_hash string")
+        survivors = dedup_new_against_index(batch, index)
+        keep = (
+            batch.join(survivors.select("doc_id"), "doc_id")
+            .withColumn("epoch", F.lit(batch_id))
+        )
+        dyn = {"partitionOverwriteMode": "dynamic"}
+        (keep.write.mode("overwrite").options(**dyn)
+         .partitionBy("epoch").parquet(docs_out))
+        (survivors.select("text_hash")
+         .withColumn("epoch", F.lit(batch_id))
+         .write.mode("overwrite").options(**dyn)
+         .partitionBy("epoch").parquet(index_dir))
+
+    reader = spark.readStream.schema(DOCS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+    writer = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -239,3 +239,123 @@ def test_path_with_kinds_rejected(spark, triples):
     with pytest.raises(ValueError, match="with_kinds"):
         bgp_match(triples, [("?m", parse_path("a/b"), "?x")],
                   with_kinds=True)
+
+
+# ----------------------------------------------------------------- CONSTRUCT
+
+
+def test_construct_basic_with_kinds(spark, triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct
+
+    got = {tuple(r) for r in bgp_construct(triples, [
+        ("?m", "rdf:type", "kbo:Enterprise"),
+        ("?m", "kbo:legalName", "?name"),
+    ], template=[
+        ("?m", "kg:label", "?name"),
+        ("?m", "rdf:type", "kg:Company"),
+    ]).select("subject", "subject_kind", "predicate",
+              "object_value", "object_kind").collect()}
+    assert got == {
+        ("m:1", 0, "kg:label", "Acme", 2),
+        ("m:2", 0, "kg:label", "Globex", 2),
+        ("m:1", 0, "rdf:type", "kg:Company", 0),
+        ("m:2", 0, "rdf:type", "kg:Company", 0),
+    }
+
+
+def test_construct_unbound_optional_omits_triple_only(spark, triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct
+
+    # m:3 has no registeredAddress: the pc triple is omitted for it,
+    # but its label triple still constructs (SPARQL 11.2).
+    rows = bgp_construct(triples, [
+        ("?m", "kbo:legalName", "?name"),
+    ], optional=[[
+        ("?m", "kbo:registeredAddress", "?a"),
+        ("?a", "kbo:postCode", "?pc"),
+    ]], template=[
+        ("?m", "kg:label", "?name"),
+        ("?m", "kg:postCode", "?pc"),
+    ]).select("subject", "predicate", "object_value").collect()
+    got = {tuple(r) for r in rows}
+    assert ("m:3", "kg:label", "NotACompany") in got
+    assert not any(s == "m:3" and p == "kg:postCode" for s, p, _ in got)
+    assert ("m:1", "kg:postCode", "1000") in got
+
+
+def test_construct_drops_ill_formed(spark, triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct
+
+    # literal subject (?name binds literals) -> instantiation dropped
+    assert bgp_construct(triples, [
+        ("?m", "kbo:legalName", "?name"),
+    ], template=[("?name", "kg:of", "?m")]).count() == 0
+
+
+def test_construct_blank_fresh_per_solution_shared_in_template(spark, triples):
+    from extract_cbd_shape_spark.model import BLANK, Term
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct
+
+    rows = bgp_construct(triples, [
+        ("?m", "rdf:type", "kbo:Enterprise"),
+        ("?m", "kbo:legalName", "?name"),
+    ], template=[
+        (Term(BLANK, "b"), "kg:of", "?m"),
+        (Term(BLANK, "b"), "kg:name", "?name"),
+    ]).collect()
+    assert len(rows) == 4
+    by_blank = {}
+    for r in rows:
+        assert r.subject_kind == BLANK and r.subject.startswith("_:c")
+        by_blank.setdefault(r.subject, set()).add(r.object_value)
+    # 2 solutions -> 2 distinct blanks, each carrying its own (m, name)
+    assert len(by_blank) == 2
+    assert {frozenset(v) for v in by_blank.values()} == {
+        frozenset({"m:1", "Acme"}), frozenset({"m:2", "Globex"})}
+
+
+def test_construct_is_a_set(spark, triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct
+
+    # two enterprises -> one identical constant triple, deduped
+    assert bgp_construct(triples, [
+        ("?m", "rdf:type", "kbo:Enterprise"),
+    ], template=[("kg:corpus", "kg:hasType", "kg:Company")]).count() == 1
+
+
+def test_construct_literal_identity_carries_lang_datatype(spark):
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct
+
+    t = spark.createDataFrame(
+        [("s:1", 0, "p:name", "chat", 2, "fr", None),
+         ("s:1", 0, "p:name", "chat", 2, "en", None),
+         ("s:2", 0, "p:age", "41", 2, None, "xsd:integer")],
+        "subject string, subject_kind tinyint, predicate string, "
+        "object_value string, object_kind tinyint, object_lang string, "
+        "object_datatype string")
+    got = {(r.object_value, r.object_lang, r.object_datatype)
+           for r in bgp_construct(
+               t, [("?s", "?p", "?o")],
+               template=[("?s", "kg:val", "?o")]).collect()}
+    assert got == {("chat", "fr", None), ("chat", "en", None),
+                   ("41", None, "xsd:integer")}
+
+
+def test_construct_kindless_value_space_fallback(spark, chain_triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct, parse_path
+
+    got = {tuple(r) for r in bgp_construct(chain_triples, [
+        ("?m", parse_path("kbo:registeredAddress/kbo:postCode"), "?pc"),
+    ], template=[
+        ("?m", "kg:pc", "?pc"),
+    ], with_kinds=False).select(
+        "subject", "subject_kind", "object_value", "object_kind").collect()}
+    assert got == {("m:1", 0, "1000", 0), ("m:2", 0, "2000", 0)}
+
+
+def test_construct_template_var_unbound_raises(spark, triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct
+
+    with pytest.raises(ValueError, match="not bound"):
+        bgp_construct(triples, [("?m", "rdf:type", "kbo:Enterprise")],
+                      template=[("?m", "kg:x", "?nope")])
