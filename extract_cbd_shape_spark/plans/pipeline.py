@@ -51,6 +51,7 @@ class KGConstructionPipeline:
         shape: Optional[Term] = None,
         dict_size: int = 20,
         local_extraction: bool = True,
+        construct_rules: Optional[list] = None,
     ):
         self.spark = spark
         self.warehouse = warehouse
@@ -58,6 +59,12 @@ class KGConstructionPipeline:
         self.shape = shape
         self.dict_size = dict_size
         self.local_extraction = local_extraction
+        # Optional CONSTRUCT enrichment rules (stage 4b): each rule is a
+        # dict of `operators.bgp.bgp_construct` keyword arguments
+        # (patterns, template, optional, filters, ...) evaluated over
+        # the extracted entity graph; derived triples land in their own
+        # snapshot table and flow into the final triples union.
+        self.construct_rules = construct_rules or []
 
     def _table(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
@@ -385,12 +392,41 @@ class KGConstructionPipeline:
                 bucket_by="entity_iri",
             )
 
-        # Stage 5 — final triples table = entity triples + link triples,
-        # bucketed by subject for co-located downstream joins.
+        # Stage 4b — optional CONSTRUCT enrichment: each rule derives
+        # new triples from the extracted graph (map-side template
+        # instantiation over the rule's BGP solution join; the only
+        # added shuffle is each rule's distinct). Derived triples get
+        # their OWN snapshot so the stage is resumable and the final
+        # union can be rebuilt without re-running the rules.
+        derived = None
+        if self.construct_rules:
+            if not (resume and self._stage_done("derived_triples",
+                                                "construct_enrich")):
+                from extract_cbd_shape_spark.operators.bgp import bgp_construct
+
+                parts = [bgp_construct(entity_triples, **rule)
+                         for rule in self.construct_rules]
+                der = parts[0]
+                for p in parts[1:]:
+                    der = der.unionByName(p)
+                manifests["derived_triples"] = materialize_table(
+                    der.select("subject", "predicate", "object_value")
+                    .dropDuplicates(),
+                    self._table("derived_triples"), "construct_enrich",
+                )
+            derived = read_latest_snapshot(
+                spark, self._table("derived_triples"))
+
+        # Stage 5 — final triples table = entity triples + link triples
+        # (+ CONSTRUCT-derived triples), bucketed by subject for
+        # co-located downstream joins.
         if not (resume and self._stage_done("triples", "materialize")):
             final = entity_triples.select(
                 "subject", "predicate", "object_value"
             ).unionByName(links.select("subject", "predicate", "object_value"))
+            if derived is not None:
+                final = final.unionByName(
+                    derived.select("subject", "predicate", "object_value"))
             manifests["triples"] = materialize_table(
                 final, self._table("triples"), "materialize"
             )

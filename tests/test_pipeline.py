@@ -244,3 +244,48 @@ def test_blank_label_scoping_across_pages(spark):
         v for s in per_doc.values() for v in s)) == 1
     # deterministic scoping helper
     assert scope_blank_label("u1", "_:b0") != scope_blank_label("u2", "_:b0")
+
+
+def test_pipeline_construct_enrichment_stage(spark, tmp_path):
+    """Stage 4b: CONSTRUCT rules over the extracted graph derive new
+    triples into their own snapshot and the final triples union;
+    resume skips the rule evaluation."""
+    from extract_cbd_shape_spark.sinks.materialize import (
+        read_latest_snapshot,
+    )
+
+    wh = str(tmp_path / "wh_enrich")
+    pages = synth_pages(spark, SF).limit(30)
+    rule = {
+        "patterns": [("?p", "kg:author", "?a"), ("?p", "kg:lang", "?l")],
+        "template": [("?a", "kg:writesIn", "?l")],
+    }
+    pipe = KGConstructionPipeline(spark, wh, construct_rules=[rule])
+    manifests = pipe.run(pages, resume=False)
+    assert manifests["derived_triples"]["rows"] > 0
+
+    derived = read_latest_snapshot(spark, os.path.join(wh, "derived_triples"))
+    got = {tuple(r) for r in derived.select(
+        "subject", "predicate", "object_value").collect()}
+    assert all(p == "kg:writesIn" for _, p, _ in got)
+
+    # hand-derive the expected rule output from the entity graph
+    et = read_latest_snapshot(spark, os.path.join(wh, "entity_triples"))
+    authors = et.filter(F.col("predicate") == "kg:author").select(
+        F.col("subject").alias("p"), F.col("object_value").alias("a"))
+    langs = et.filter(F.col("predicate") == "kg:lang").select(
+        F.col("subject").alias("p"), F.col("object_value").alias("l"))
+    want = {(r.a, "kg:writesIn", r.l)
+            for r in authors.join(langs, "p").collect()}
+    assert got == want
+
+    # derived triples are in the final table
+    final = read_latest_snapshot(spark, os.path.join(wh, "triples"))
+    n_writes = final.filter(F.col("predicate") == "kg:writesIn").count()
+    assert n_writes == len(got)
+
+    # resume: rules not re-run, snapshots unchanged
+    snaps_before = sorted(os.listdir(os.path.join(wh, "derived_triples")))
+    KGConstructionPipeline(spark, wh, construct_rules=[rule]).run(
+        pages, resume=True)
+    assert sorted(os.listdir(os.path.join(wh, "derived_triples"))) == snaps_before

@@ -113,6 +113,43 @@ def main() -> int:
     else:
         print("OK  cbd_results: JVM-only, checkpoint-backed result")
 
+    # CONSTRUCT: template instantiation must stay map-side JVM work —
+    # no Python anywhere, the only aggregate the final distinct.
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct
+    g = bgp_construct(triples, [
+        ("?m", "rdf:type", "kbo:Enterprise"),
+        ("?m", "kbo:legalName", "?name"),
+    ], template=[("?m", "kg:label", "?name")])
+    plan = plan_of(g)
+    probs = []
+    if re.search(r"BatchEvalPython", plan):
+        probs.append("row-Python in CONSTRUCT")
+    if not re.search(r"HashAggregate", plan):
+        probs.append("distinct not a hash aggregate")
+    if probs:
+        failures.append("bgp_construct")
+        print(f"FAIL bgp_construct: {', '.join(probs)}")
+    else:
+        print("OK  bgp_construct: JVM-only projection + hash-agg distinct")
+
+    # Verbatim-span dedup: documents scan pruned to (doc_id, text),
+    # gram df a two-phase hash aggregate, no Python.
+    from extract_cbd_shape_spark.operators.spans import repeated_spans
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(repeated_spans(docs, k=8, min_df=2))
+    probs = []
+    if not re.search(r"ReadSchema: struct<doc_id:bigint,text:string>", plan):
+        probs.append("documents scan not pruned")
+    if re.search(r"BatchEvalPython", plan):
+        probs.append("row-Python in span path")
+    if not re.search(r"partial_count", plan):
+        probs.append("gram df missing map-side combine")
+    if probs:
+        failures.append("repeated_spans")
+        print(f"FAIL repeated_spans: {', '.join(probs)}")
+    else:
+        print("OK  repeated_spans: pruned scan, combined df agg, JVM-only")
+
     print("FAILURES:", failures if failures else "none")
     return 1 if failures else 0
 
