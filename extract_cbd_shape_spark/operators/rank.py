@@ -1,0 +1,102 @@
+"""Entity importance over the constructed graph: distributed PageRank.
+
+Consumption-side operator for the KG the pipeline materializes —
+ranking canonicalized entities by link structure is how a corpus-scale
+pipeline picks which entities to keep, sample, or surface (the same
+role importance sampling plays on the document side,
+`operators/sampling.py`).
+
+Pure DataFrame iteration, the classic Spark shape:
+
+* edges are normalized once into per-source contribution fractions
+  (one groupBy + join, then repartitioned by src and checkpointed —
+  every iteration reuses that one clustering, no per-round re-shuffle
+  of the edge set);
+* each iteration is ONE join (ranks x contribs) + ONE groupBy(dst)
+  sum — both map-side combinable; dangling mass (nodes with no
+  out-edges) is collected per round as a single scalar aggregate and
+  redistributed uniformly, keeping the rank vector a probability
+  distribution (sum == 1) so results are comparable across graphs;
+* ranks are localCheckpointed per round to cut lineage (the
+  fixpoint-loop convention shared with `operators/closure.py`).
+
+100 TB shape: per-round network cost is |ranks| + |edges| keyed by
+src/dst — the same bound as one bulk-extraction wave; hub skew in the
+groupBy(dst) is partial-aggregated map-side, and AQE splits residual
+skewed reduce partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 20,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank) for every node appearing in ``edges`` (either
+    endpoint). Ranks sum to 1.0: uniform teleport (1-d)/N plus damped
+    link mass, with dangling-node mass redistributed uniformly each
+    round (the standard stochastic-matrix completion, so a node with no
+    out-links leaks nothing).
+
+    Parallel edges are honored as multiplicity (two identical edges
+    carry twice the fraction); pre-``dropDuplicates`` the edge set for
+    simple-graph semantics.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(F.col("node"))
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    # per-source fractions: contrib(src, dst) = 1/outdeg(src)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_deg"))
+    contribs = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("frac"))
+        .repartition(F.col("src"))
+        .localCheckpoint()
+    )
+    has_out = outdeg.select(F.col("src").alias("node"))
+    teleport = (1.0 - damping) / n_nodes
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
+    for _ in range(iterations):
+        # dangling mass this round: rank sitting on nodes with no
+        # out-edges (single scalar — the one driver-side value per
+        # round, like the fixpoint loops' emptiness probes)
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        inflow = (
+            ranks.withColumnRenamed("node", "src")
+            .join(contribs, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(inflow, "node", "left")
+            .select(
+                "node",
+                (F.lit(teleport)
+                 + F.lit(damping)
+                 * (F.coalesce(F.col("_in"), F.lit(0.0))
+                    + F.lit(dangling / n_nodes))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
