@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 import sys
 from typing import Dict, List, Optional
 
@@ -146,6 +147,84 @@ def cmd_extract(args: argparse.Namespace) -> int:
     return 0
 
 
+_PATH_CHARS = set("/|^+*?()")
+
+
+def _query_term(tok: str):
+    """CLI pattern/template token -> BGP term. ``?x`` = variable,
+    ``<iri>`` = IRI constant (angle brackets stripped), ``"text"`` =
+    literal Term, ``_:l`` = blank Term (template blank label), anything
+    else = bare IRI/prefixed-name constant."""
+    from extract_cbd_shape_spark.model import BLANK, LITERAL
+
+    if tok.startswith("?"):
+        return tok
+    if tok.startswith("<") and tok.endswith(">"):
+        return tok[1:-1]
+    if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
+        return Term(LITERAL, tok[1:-1])
+    if tok.startswith("_:"):
+        return Term(BLANK, tok[2:])
+    return tok
+
+
+def _query_pattern(spec: str):
+    """One ``--pattern``/``--construct`` spec: three whitespace-split
+    tokens. A predicate token that is neither a variable nor
+    ``<bracketed>`` and contains path syntax (``/ | ^ + * ? ( )``)
+    compiles as a property path; bracket full IRIs containing ``/`` to
+    force a plain constant."""
+    toks = spec.split()
+    if len(toks) != 3:
+        sys.exit(f"pattern must have 3 terms: {spec!r}")
+    s, p, o = toks
+    # path syntax counts only OUTSIDE angle brackets: <http://a/p> is a
+    # plain constant, <http://a/p>/<http://a/q> a 2-hop sequence
+    outside = re.sub(r"<[^>]*>", "", p)
+    if not p.startswith("?") and any(c in _PATH_CHARS for c in outside):
+        from extract_cbd_shape_spark.operators.bgp import parse_path
+
+        pred = parse_path(p)
+    else:
+        pred = _query_term(p)
+    return (_query_term(s), pred, _query_term(o))
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    """BGP SELECT / CONSTRUCT over a TTL/TriG file — the consumption
+    dual of ``extract`` (no reference counterpart; the reference has no
+    query CLI)."""
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct, bgp_match
+    from extract_cbd_shape_spark.sinks.nquads import to_nquads
+    from extract_cbd_shape_spark.sources.fixtures import quads_to_df
+
+    spark = _build_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    data = quads_to_df(spark, load_shape_quads(args.data))
+    patterns = [_query_pattern(s) for s in args.pattern]
+    has_path = any(not isinstance(p[1], str) for p in patterns)
+    if args.construct:
+        template = [_query_pattern(s) for s in args.construct]
+        g = bgp_construct(
+            data, patterns, template, filters=args.filter or None,
+            with_kinds=not has_path,
+        )
+        lines = [r.line for r in to_nquads(g).orderBy("line").collect()]
+        sys.stdout.write("\n".join(lines) + ("\n" if lines else ""))
+        return 0
+    out = bgp_match(
+        data, patterns, select=args.select or None,
+        filters=args.filter or None, distinct=args.distinct,
+    )
+    cols = out.columns
+    rows = sorted(tuple("" if v is None else str(v) for v in r)
+                  for r in out.collect())
+    sys.stdout.write("\t".join(cols) + "\n")
+    for r in rows:
+        sys.stdout.write("\t".join(r) + "\n")
+    return 0
+
+
 def cmd_mermaid(args: argparse.Namespace) -> int:
     from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
     from extract_cbd_shape_spark.shapes.mermaid import MermaidRenderer
@@ -174,6 +253,24 @@ def main(argv: Optional[List[str]] = None) -> int:
     pe.add_argument("--out", default="-", help="output file or - for stdout")
     pe.add_argument("--cpus", type=int, default=4)
     pe.set_defaults(fn=cmd_extract)
+
+    pq = sub.add_parser(
+        "query", help="BGP SELECT/CONSTRUCT over a TTL/TriG file")
+    pq.add_argument("--data", required=True, help="TTL/TriG data file")
+    pq.add_argument("--pattern", action="append", required=True,
+                    metavar="'?s pred ?o'",
+                    help="triple pattern (repeatable); predicate may be "
+                         "a property path (a/b, ^p, p+, p|q)")
+    pq.add_argument("--select", nargs="+", metavar="?var",
+                    help="projected variables (default: all)")
+    pq.add_argument("--filter", action="append", metavar="SQL",
+                    help="FILTER as a Spark SQL boolean over variables")
+    pq.add_argument("--construct", action="append", metavar="'?s pred ?o'",
+                    help="CONSTRUCT template triple (repeatable); "
+                         "output becomes N-Quads instead of a table")
+    pq.add_argument("--distinct", action="store_true")
+    pq.add_argument("--cpus", type=int, default=4)
+    pq.set_defaults(fn=cmd_query)
 
     pm = sub.add_parser("mermaid", help="render shapes as Mermaid")
     pm.add_argument("shapes", help="SHACL shapes TTL file")

@@ -72,11 +72,24 @@ def parse_path(expr: str) -> Path:
         prim := '(' alt ')' | PREDICATE
 
     PREDICATE is any run of characters outside ``/|^+*?()`` and
-    whitespace — fine for prefixed names (``kbo:activity``); full IRIs
-    containing ``/`` must be passed as AST objects instead."""
+    whitespace — fine for prefixed names (``kbo:activity``) — or an
+    angle-bracketed IRI (``<http://…/p>``): brackets protect the inner
+    text (including ``/``) and are stripped from the token."""
     tokens = []
     buf = []
-    for ch in expr:
+    i = 0
+    while i < len(expr):
+        ch = expr[i]
+        if ch == "<":
+            j = expr.find(">", i + 1)
+            if j < 0:
+                raise ValueError(f"unclosed '<' in path {expr!r}")
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+            tokens.append(expr[i + 1:j])
+            i = j + 1
+            continue
         if ch in "/|^+*?()":
             if buf:
                 tokens.append("".join(buf))
@@ -88,6 +101,7 @@ def parse_path(expr: str) -> Path:
                 buf = []
         else:
             buf.append(ch)
+        i += 1
     if buf:
         tokens.append("".join(buf))
     pos = 0

@@ -359,3 +359,15 @@ def test_construct_template_var_unbound_raises(spark, triples):
     with pytest.raises(ValueError, match="not bound"):
         bgp_construct(triples, [("?m", "rdf:type", "kbo:Enterprise")],
                       template=[("?m", "kg:x", "?nope")])
+
+
+def test_parse_path_angle_bracketed_iris(spark, chain_triples):
+    from extract_cbd_shape_spark.operators.bgp import parse_path
+    from extract_cbd_shape_spark.shapes.ast import PredicatePath, SequencePath
+
+    p = parse_path("<http://a/p>/<http://b/q>+")
+    assert isinstance(p, SequencePath)
+    assert isinstance(p.sequence[0], PredicatePath)
+    assert p.sequence[0].predicate == "http://a/p"
+    with pytest.raises(ValueError, match="unclosed"):
+        parse_path("<http://a/p")

@@ -141,3 +141,58 @@ def test_nquads_literal_escaping(spark):
         "_:b0 <http://p> <http://o> <http://g> .",
         '<http://s> <http://p> "plain" .',
     ])
+
+
+@pytest.fixture()
+def query_data(tmp_path):
+    f = tmp_path / "q.ttl"
+    f.write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:m1 a ex:Company ; ex:name \"Acme\" ; ex:addr ex:a1 .\n"
+        "ex:a1 ex:zip \"1000\" .\n"
+        "ex:m2 a ex:Company ; ex:name \"Globex\" ; ex:addr ex:a2 .\n"
+        "ex:a2 ex:zip \"2000\" .\n"
+        "ex:m3 ex:name \"NotCo\" .\n"
+    )
+    return str(f)
+
+
+def test_cli_query_select(spark, capsys, query_data):
+    rc = main([
+        "query", "--data", query_data,
+        "--pattern",
+        "?m <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://example.org/Company>",
+        "--pattern", "?m <http://example.org/name> ?n",
+        "--select", "?n",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "n" and sorted(out[1:]) == ["Acme", "Globex"]
+
+
+def test_cli_query_path_predicate_and_filter(spark, capsys, query_data):
+    rc = main([
+        "query", "--data", query_data,
+        "--pattern",
+        "?m <http://example.org/addr>/<http://example.org/zip> ?z",
+        "--filter", "z >= '2000'",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["m", "z"]
+    assert out[1:] == ["http://example.org/m2\t2000"]
+
+
+def test_cli_query_construct_nquads(spark, capsys, query_data):
+    rc = main([
+        "query", "--data", query_data,
+        "--pattern", "?m <http://example.org/name> ?n",
+        "--construct", "?m <http://example.org/label> ?n",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 3
+    assert all(line.endswith(" .") for line in out)
+    assert any('"Acme"' in line for line in out)
+    assert out == sorted(out)
