@@ -768,13 +768,26 @@ def _lines_corpus(spark, sf_dir):
 
 def _q_repetition_quality(spark, sf_dir):
     """Gopher-style repetition quality signals in one verified result
-    (merged r4 from dup_lines / top_bigram): duplicate-line fraction
-    over the 3-line re-layout and top-bigram mass over raw documents —
-    map-side array ops plus one shingle shuffle, LEFT-joined so docs
-    with <2 tokens keep NULL bigram stats."""
+    (merged r4 from dup_lines / top_bigram, extended with the
+    verbatim-span detector): duplicate-line fraction over the 3-line
+    re-layout, top-bigram mass over raw documents, and cross-document
+    repeated-span stats (operators/spans.py — hot 8-gram intervals,
+    df >= 2 docs) — every column value-hashed against the DuckDB
+    mirror, LEFT joins keeping <2-token docs' NULL bigram stats."""
+    from extract_cbd_shape_spark.operators.spans import repeated_spans
+
+    docs = _t(spark, sf_dir, "documents")
     ls = line_stats(_lines_corpus(spark, sf_dir))
-    bg = top_bigram_stats(_t(spark, sf_dir, "documents"))
-    return ls.join(bg, "doc_id", "left")
+    bg = top_bigram_stats(docs)
+    rs = repeated_spans(docs, k=8, min_df=2).select(
+        "doc_id",
+        F.size("spans").alias("n_spans"),
+        F.aggregate(
+            "spans", F.lit(0), lambda a, s: a + (s["end"] - s["start"])
+        ).alias("span_tokens"),
+        F.round("repeated_token_frac", 4).alias("repeated_token_frac"),
+    )
+    return ls.join(bg, "doc_id", "left").join(rs, "doc_id", "left")
 
 
 def _q_pack_sequences(spark, sf_dir):
@@ -1926,9 +1939,34 @@ g AS (SELECT doc_id, unnest({_SH2}) AS s FROM b),
 cnt AS (SELECT doc_id, s, count(*) AS c FROM g GROUP BY doc_id, s),
 bg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
        round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
-       FROM cnt GROUP BY doc_id)
-SELECT lines.doc_id, n_lines, dup_line_frac, n_bigrams, top_bigram_frac
-FROM lines LEFT JOIN bg USING (doc_id)
+       FROM cnt GROUP BY doc_id),
+wt AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+       FROM documents),
+gr AS (SELECT doc_id, i,
+           array_to_string(t[i:i+7], chr(31)) AS gram
+       FROM wt, unnest(generate_series(1, len(t) - 7)) u(i)
+       WHERE len(t) >= 8),
+hot AS (SELECT gram FROM gr
+        GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+fl AS (SELECT doc_id, i FROM gr JOIN hot USING (gram)),
+isl AS (SELECT doc_id, i,
+        SUM(CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM (SELECT doc_id, i,
+              lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM fl)),
+sp AS (SELECT doc_id, grp, min(i) AS s, max(i) + 8 AS e
+       FROM isl GROUP BY doc_id, grp),
+spstats AS (SELECT sp.doc_id, count(*)::INT AS n_spans,
+            CAST(sum(e - s) AS INT) AS span_tokens,
+            round(sum(e - s) * 1.0 / any_value(len(wt.t)), 4)
+                AS repeated_token_frac
+            FROM sp JOIN wt USING (doc_id) GROUP BY sp.doc_id)
+SELECT lines.doc_id, n_lines, dup_line_frac, n_bigrams, top_bigram_frac,
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(span_tokens, 0) AS span_tokens,
+       coalesce(repeated_token_frac, 0.0) AS repeated_token_frac
+FROM lines LEFT JOIN bg USING (doc_id) LEFT JOIN spstats USING (doc_id)
 """,
         "pack_sequences": f"""
 WITH w AS (SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents),
