@@ -219,3 +219,38 @@ def test_ivf_kmeans_recall_vs_exact(spark):
     c2 = sorted(map(tuple, ((r.centroid_id, tuple(r.cv))
                 for r in kmeans_centroids(emb).collect())))
     assert c1 == c2
+
+
+def test_semantic_dedup_groups_and_reps(spark):
+    """SemDeDup composition: planted duplicate CHAINS collapse to one
+    representative (min id) via connected components; singletons keep
+    themselves."""
+    import random
+
+    from extract_cbd_shape_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(24):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+        if i % 6 == 0:  # chain: i ~ i+100 ~ i+200 (two perturbations)
+            rows.append((i + 100, [x + 0.015 for x in v]))
+            rows.append((i + 200, [x + 0.03 for x in v]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        vecs, threshold=0.95, stride=8, n_iter=1).collect()}
+    assert len(out) == len(rows)
+    for i in range(0, 24, 6):
+        group = [i, i + 100, i + 200]
+        reps = {out[g].rep_id for g in group}
+        # the chain must collapse to ONE representative: the min id
+        assert reps == {i}, (i, reps)
+        assert out[i].keep and not out[i + 100].keep and not out[i + 200].keep
+    # untouched singletons keep themselves
+    for i in range(24):
+        if i % 6 != 0:
+            assert out[i].keep and out[i].rep_id == i
+    # keep-filtered corpus has exactly one row per duplicate group
+    kept = [k for k, r in out.items() if r.keep]
+    assert len(kept) == 24
