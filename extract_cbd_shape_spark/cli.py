@@ -225,6 +225,33 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_validate(args: argparse.Namespace) -> int:
+    """Per-entity SHACL conformance report (operators/validate.py) —
+    the reference's requiredAreNotPresent evidence as a table."""
+    from extract_cbd_shape_spark.operators.extract import BulkCBDShapeExtractor
+    from extract_cbd_shape_spark.operators.validate import shacl_report
+    from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
+    from extract_cbd_shape_spark.sources.fixtures import quads_to_df
+
+    spark = _build_spark(args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    shapes_graph = ShapesGraph.from_quads(load_shape_quads(args.shapes))
+    data = quads_to_df(spark, load_shape_quads(args.data))
+    members = spark.createDataFrame(
+        [(e, 0, i) for i, e in enumerate(args.entity)],
+        "entity string, entity_kind tinyint, input_idx long",
+    )
+    rep = shacl_report(
+        BulkCBDShapeExtractor(spark, shapes_graph=shapes_graph),
+        data, members, shape=Term(IRI, args.shape_iri),
+    ).orderBy("input_idx").collect()
+    sys.stdout.write("entity\tconforms\tmissing\n")
+    for r in rep:
+        sys.stdout.write(
+            f"{r.entity}\t{str(r.conforms).lower()}\t{r.missing or ''}\n")
+    return 0 if all(r.conforms for r in rep) else 3
+
+
 def cmd_mermaid(args: argparse.Namespace) -> int:
     from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
     from extract_cbd_shape_spark.shapes.mermaid import MermaidRenderer
@@ -271,6 +298,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     pq.add_argument("--distinct", action="store_true")
     pq.add_argument("--cpus", type=int, default=4)
     pq.set_defaults(fn=cmd_query)
+
+    pv = sub.add_parser(
+        "validate",
+        help="per-entity SHACL conformance report (exit 3 on violations)")
+    pv.add_argument("--data", required=True, help="TTL/TriG data file")
+    pv.add_argument("--shapes", required=True,
+                    help="SHACL shapes TTL (owl:imports followed)")
+    pv.add_argument("--shape-iri", required=True,
+                    help="shape IRI within the shapes graph")
+    pv.add_argument("--entity", action="append", required=True,
+                    help="focus entity IRI (repeatable)")
+    pv.add_argument("--cpus", type=int, default=4)
+    pv.set_defaults(fn=cmd_validate)
 
     pm = sub.add_parser("mermaid", help="render shapes as Mermaid")
     pm.add_argument("shapes", help="SHACL shapes TTL file")

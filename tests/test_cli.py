@@ -196,3 +196,35 @@ def test_cli_query_construct_nquads(spark, capsys, query_data):
     assert all(line.endswith(" .") for line in out)
     assert any('"Acme"' in line for line in out)
     assert out == sorted(out)
+
+
+def test_cli_validate_reports_and_exit_code(spark, capsys, tmp_path):
+    (tmp_path / "vshape.ttl").write_text(
+        "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+        "@prefix ex: <http://example.org/> .\n"
+        "ex:VS a sh:NodeShape ;\n"
+        "  sh:property [ sh:path ex:name ; sh:minCount 1 ] ;\n"
+        "  sh:property [ sh:path ex:vat ; sh:minCount 1 ] .\n"
+    )
+    (tmp_path / "vdata.ttl").write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:ok ex:name "A" ; ex:vat "BE1" .\n'
+        'ex:bad ex:name "B" .\n'
+    )
+    rc = main(["validate", "--data", str(tmp_path / "vdata.ttl"),
+               "--shapes", str(tmp_path / "vshape.ttl"),
+               "--shape-iri", "http://example.org/VS",
+               "--entity", "http://example.org/ok",
+               "--entity", "http://example.org/bad"])
+    assert rc == 3  # violations present
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "entity\tconforms\tmissing"
+    assert out[1] == "http://example.org/ok\ttrue\t"
+    assert out[2].startswith("http://example.org/bad\tfalse\t")
+    assert "vat" in out[2]
+
+    rc = main(["validate", "--data", str(tmp_path / "vdata.ttl"),
+               "--shapes", str(tmp_path / "vshape.ttl"),
+               "--shape-iri", "http://example.org/VS",
+               "--entity", "http://example.org/ok"])
+    assert rc == 0
