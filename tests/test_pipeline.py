@@ -289,3 +289,39 @@ def test_pipeline_construct_enrichment_stage(spark, tmp_path):
     KGConstructionPipeline(spark, wh, construct_rules=[rule]).run(
         pages, resume=True)
     assert sorted(os.listdir(os.path.join(wh, "derived_triples"))) == snaps_before
+
+
+def test_incremental_rerun_updates_derived_triples(spark, tmp_path):
+    """CONSTRUCT enrichment under run_incremental: graph stages run with
+    resume=False per batch, so the derived snapshot reflects the UNION
+    after the delta, not the stale first-batch rules output."""
+    from extract_cbd_shape_spark.sinks.materialize import (
+        read_latest_snapshot,
+    )
+
+    pages = synth_pages(spark, SF).orderBy("url").limit(20).cache()
+    w1 = pages.limit(10)
+    w2 = pages.subtract(w1)
+    wh = str(tmp_path / "wh_incr_enrich")
+    rule = {
+        "patterns": [("?p", "kg:author", "?a"), ("?p", "kg:lang", "?l")],
+        "template": [("?a", "kg:writesIn", "?l")],
+    }
+    pipe = KGConstructionPipeline(spark, wh, construct_rules=[rule])
+    m1 = pipe.run(w1, resume=False)
+    n1 = m1["derived_triples"]["rows"]
+    m2 = pipe.run_incremental(w2, epoch=1)
+    n2 = m2["derived_triples"]["rows"]
+    assert n1 > 0 and n2 > n1
+    # derived rows equal a full batch run over all pages
+    wh_full = str(tmp_path / "wh_full_enrich")
+    mf = KGConstructionPipeline(
+        spark, wh_full, construct_rules=[rule]).run(pages, resume=False)
+    assert n2 == mf["derived_triples"]["rows"]
+    got = {tuple(r) for r in read_latest_snapshot(
+        spark, os.path.join(wh, "derived_triples"))
+        .select("subject", "predicate", "object_value").collect()}
+    want = {tuple(r) for r in read_latest_snapshot(
+        spark, os.path.join(wh_full, "derived_triples"))
+        .select("subject", "predicate", "object_value").collect()}
+    assert got == want

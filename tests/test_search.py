@@ -1,0 +1,80 @@
+"""BM25 index/search (operators/search.py) against a hand-rolled
+plain-Python BM25."""
+
+import math
+
+import pytest
+
+from extract_cbd_shape_spark.operators.search import bm25_index, bm25_search
+
+DOCS = [
+    (1, "spark streaming engine"),
+    (2, "spark sql engine engine"),
+    (3, "pandas dataframe"),
+    (4, ""),
+]
+
+
+def _exact_bm25(query_terms, k1=1.2, b=0.75):
+    toks = {i: t.split() for i, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in sorted(set(query_terms)):
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, v in toks.items():
+            tf = v.count(term)
+            if not tf:
+                continue
+            s = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * len(v) / avgdl))
+            scores[i] = scores.get(i, 0.0) + s
+    return scores
+
+
+@pytest.fixture(scope="module")
+def index(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return bm25_index(docs).cache()
+
+
+def test_bm25_matches_exact_scores(spark, index):
+    got = {r.doc_id: r.score
+           for r in bm25_search(index, "spark engine", k=10).collect()}
+    want = _exact_bm25(["spark", "engine"])
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12), d
+    # doc 2 has engine twice -> outranks doc 1
+    ranked = [r.doc_id for r in
+              bm25_search(index, "spark engine", k=10).collect()]
+    assert ranked == [2, 1]
+
+
+def test_bm25_rare_term_outranks_common(spark, index):
+    # "pandas" (df=1) is worth more than "spark" (df=2) at equal tf/dl…
+    got = {r.doc_id: r.score
+           for r in bm25_search(index, "pandas spark sql", k=10).collect()}
+    # doc 3 matches only the rare term; doc 2 matches spark+sql
+    assert got[3] == pytest.approx(_exact_bm25(["pandas"])[3], rel=1e-12)
+
+
+def test_bm25_duplicate_query_terms_count_once(spark, index):
+    a = {r.doc_id: r.score
+         for r in bm25_search(index, "engine engine", k=10).collect()}
+    b = {r.doc_id: r.score
+         for r in bm25_search(index, "engine", k=10).collect()}
+    assert a == b
+
+
+def test_bm25_empty_query_and_no_hits(spark, index):
+    assert bm25_search(index, "???", k=5).count() == 0
+    assert bm25_search(index, "zzz_not_present", k=5).count() == 0
+
+
+def test_bm25_top_k_limit_and_rank(spark, index):
+    rows = bm25_search(index, "spark engine", k=1).collect()
+    assert len(rows) == 1 and rows[0].rank == 1 and rows[0].doc_id == 2
