@@ -1220,9 +1220,11 @@ def _q_bgp_path(spark, sf_dir):
     parse_path -> the extraction engine's own Path algebra): a 2-hop
     sequence composed with a one-or-more closure —
     ``kbo:activity/kg:nextAct+`` over the KBO graph plus a synthetic
-    49-edge next-activity chain (cyclic within each decade of act IRIs,
-    so the closure runs the pointer-jumping transitive-closure loop on
-    a functional edge set). Bag semantics preserved through the
+    45-edge next-activity chain (ids ending in 9 have no out-edge, so
+    the graph is five disjoint ACYCLIC 10-node chains; the closure
+    runs the pointer-jumping transitive-closure loop on a functional
+    edge set — cycle termination is covered by tests/test_bgp.py, not
+    this pair). Bag semantics preserved through the
     sequence hop (two activities reaching the same target keep two
     rows); aggregated per target so the driver compare stays small
     while still hashing the full closure content."""

@@ -171,7 +171,8 @@ def _graph_terms(triples: DataFrame) -> DataFrame:
 
 
 def _path_pairs(triples: DataFrame, path: Path,
-                src_const: Optional[str] = None) -> DataFrame:
+                src_const: Optional[str] = None,
+                dst_const: Optional[str] = None) -> DataFrame:
     """Compile a Path into its solution pairs ``(_src, _dst)``.
 
     Bag semantics for predicate/inverse/sequence/alternative (SPARQL
@@ -217,12 +218,14 @@ def _path_pairs(triples: DataFrame, path: Path,
             res = res.unionByName(o)
         return res
     if isinstance(path, MultiPath):
-        return _closure_pairs(triples, path, src_const=src_const)
+        return _closure_pairs(triples, path, src_const=src_const,
+                              dst_const=dst_const)
     raise ValueError(f"unsupported path type: {type(path).__name__}")
 
 
 def _closure_pairs(triples: DataFrame, path: MultiPath,
-                   src_const: Optional[str] = None) -> DataFrame:
+                   src_const: Optional[str] = None,
+                   dst_const: Optional[str] = None) -> DataFrame:
     """+ / * / ? solution pairs via the package's transitive-closure
     operator (large-frontier BFS / pointer jumping, checkpoint per
     round — operators/closure.py:19)."""
@@ -230,13 +233,24 @@ def _closure_pairs(triples: DataFrame, path: MultiPath,
 
     one = _path_pairs(triples, path.path).dropDuplicates(["_src", "_dst"])
     spark = triples.sparkSession
+
+    def zero_domain() -> DataFrame:
+        # SPARQL ALP: a CONSTANT endpoint contributes its reflexive
+        # zero-length solution even when the term never occurs in the
+        # graph (ghost:1 p? ?o must bind ?o = ghost:1); only when both
+        # endpoints are variables does the domain fall back to the
+        # graph's terms.
+        consts = sorted({c for c in (src_const, dst_const)
+                         if c is not None})
+        if consts:
+            return spark.createDataFrame(
+                [(c,) for c in consts], "node string")
+        return _graph_terms(triples)
+
     if isinstance(path, ZeroOrOnePath):
-        zero = _graph_terms(triples)
-        if src_const is not None:
-            zero = zero.filter(F.col("node") == F.lit(src_const))
         pairs = one.unionByName(
-            zero.select(F.col("node").alias("_src"),
-                        F.col("node").alias("_dst"))
+            zero_domain().select(F.col("node").alias("_src"),
+                                 F.col("node").alias("_dst"))
         )
         return pairs.dropDuplicates(["_src", "_dst"])
     # + and *: star(seed, node) = 0-or-more-hop reachability from the
@@ -258,18 +272,18 @@ def _closure_pairs(triples: DataFrame, path: MultiPath,
     )
     if isinstance(path, OneOrMorePath):
         return plus
-    # ZeroOrMorePath: zero-length solutions range over EVERY graph term
-    # (SPARQL zero-length-path domain), not just this predicate's
-    # endpoints.
-    zero = _graph_terms(triples)
-    if src_const is not None:
-        zero = zero.filter(F.col("node") == F.lit(src_const))
+    # ZeroOrMorePath: zero-length solutions range over every graph
+    # term when both endpoints are variables, and over the constant
+    # endpoint(s) themselves otherwise (see zero_domain).
     return plus.unionByName(
-        zero.select(F.col("node").alias("_src"), F.col("node").alias("_dst"))
+        zero_domain().select(F.col("node").alias("_src"),
+                             F.col("node").alias("_dst"))
     ).dropDuplicates(["_src", "_dst"])
 
 
 def _compile_path_pattern(triples: DataFrame, pat, with_kinds: bool) -> DataFrame:
+    from extract_cbd_shape_spark.model import Term
+
     s, path, o = pat
     if with_kinds:
         raise ValueError(
@@ -277,8 +291,16 @@ def _compile_path_pattern(triples: DataFrame, pat, with_kinds: bool) -> DataFram
             "closure endpoints lose kind columns; disambiguate by value "
             "space (doc:/_:/plain) as the engine's tables do"
         )
+    # Term constants compare by VALUE on path endpoints (closure pairs
+    # lose kind columns — the module's documented value-space contract)
+    if isinstance(s, Term):
+        s = s.value
+    if isinstance(o, Term):
+        o = o.value
     pairs = _path_pairs(
-        triples, path, src_const=None if _is_var(s) else s
+        triples, path,
+        src_const=None if _is_var(s) else s,
+        dst_const=None if _is_var(o) else o,
     )
     df = pairs
     cols = []
@@ -306,6 +328,8 @@ def _compile_pattern(triples: DataFrame, pat, with_kinds: bool,
         raise ValueError(f"pattern must be (s, p, o): {pat!r}")
     if isinstance(pat[1], Path):
         return _compile_path_pattern(triples, pat, with_kinds)
+    from extract_cbd_shape_spark.model import Term
+
     df = triples
     cols = []
     seen = {}
@@ -329,9 +353,69 @@ def _compile_pattern(triples: DataFrame, pat, with_kinds: bool,
                              else F.lit(None).cast("string"))
                             .alias(f"{name}_{suffix}")
                         )
+        elif isinstance(term, Term):
+            # typed constant (quoted literal, explicit blank): match
+            # full term identity — value + kind (when the table has a
+            # kind column for this position) + null-safe lang/datatype
+            # for object-position literals (lib/Utils.ts:85-92)
+            df = df.filter(F.col(pos) == F.lit(term.value))
+            kind_col = _KIND.get(pos)
+            if kind_col and kind_col in triples.columns:
+                df = df.filter(F.col(kind_col) == F.lit(term.kind))
+            if pos == "object_value":
+                from extract_cbd_shape_spark.model import XSD_STRING
+
+                for suffix, want in (("lang", term.lang),
+                                     ("datatype", term.datatype)):
+                    src = f"object_{suffix}"
+                    if src not in triples.columns:
+                        continue
+                    if (suffix == "datatype" and term.lang is None
+                            and want in (None, XSD_STRING)):
+                        # RDF 1.1: a simple literal IS an xsd:string
+                        # literal — both storage forms (NULL datatype
+                        # from flat builders, explicit xsd:string from
+                        # the TriG parser) are the same term
+                        df = df.filter(
+                            F.col(src).isNull()
+                            | (F.col(src) == F.lit(XSD_STRING)))
+                    else:
+                        df = df.filter(
+                            F.col(src).eqNullSafe(
+                                F.lit(want).cast("string")))
         else:
             df = df.filter(F.col(pos) == F.lit(term))
     return df.select(*cols)
+
+
+def _join_solutions(left: DataFrame, right: DataFrame,
+                    how: str = "inner") -> DataFrame:
+    """Join two solution sets on their shared columns. Shared
+    ``<var>_lang``/``<var>_datatype`` columns use NULL-SAFE equality:
+    they are legitimately NULL for IRIs, blanks, and plain literals,
+    and SQL's null-rejecting ``=`` would silently drop every such
+    solution (two NULL langs ARE the same literal identity). Value and
+    kind columns stay plain equality — an unbound (NULL) value must
+    not match, which is also the documented OPTIONAL deviation."""
+    common = [c for c in left.columns if c in right.columns]
+    if not common:
+        return left.crossJoin(right)
+    nullable = [c for c in common
+                if c.endswith("_lang") or c.endswith("_datatype")]
+    if not nullable:
+        return left.join(right, on=common, how=how)
+    l, r = left.alias("_L"), right.alias("_R")
+    cond = None
+    for c in common:
+        lc, rc = F.col(f"_L.{c}"), F.col(f"_R.{c}")
+        term = lc.eqNullSafe(rc) if c in nullable else (lc == rc)
+        cond = term if cond is None else (cond & term)
+    j = l.join(r, cond, how)
+    return j.select(
+        *[F.col(f"_L.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_R.{c}").alias(c) for c in right.columns
+          if c not in common],
+    )
 
 
 def _compile_bgp(triples: DataFrame, patterns, with_kinds: bool,
@@ -341,11 +425,7 @@ def _compile_bgp(triples: DataFrame, patterns, with_kinds: bool,
     out = None
     for pat in patterns:
         df = _compile_pattern(triples, pat, with_kinds, literal_cols)
-        if out is None:
-            out = df
-        else:
-            common = [c for c in out.columns if c in df.columns]
-            out = out.join(df, on=common) if common else out.crossJoin(df)
+        out = df if out is None else _join_solutions(out, df)
     return out
 
 
@@ -420,7 +500,7 @@ def bgp_match(
             raise ValueError(
                 f"OPTIONAL group shares no variable with the solution: {group!r}"
             )
-        out = out.join(df, on=common, how="left")
+        out = _join_solutions(out, df, how="left")
     for expr in filters or []:
         out = out.filter(F.expr(expr))
     if select is not None:
@@ -447,11 +527,16 @@ def _template_position(out_cols, term, position: str):
             # identical solution mappings collapse to one blank, which
             # is invisible in the output GRAPH (a set); retried tasks
             # re-derive the same labels, keeping writes idempotent.
+            # BARE label (engine convention: blank values are stored
+            # unprefixed; sinks/nquads.py prepends '_:' when
+            # serializing — a baked-in prefix would serialize as the
+            # grammar-invalid '_:_:c…' and break identity against
+            # engine-native blanks)
             ident = F.md5(F.concat_ws(
                 "\x1f", F.lit(term.value),
                 *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
                   for c in sorted(out_cols)]))
-            return (F.concat(F.lit("_:c"), ident),
+            return (F.concat(F.lit("c"), ident),
                     F.lit(BLANK).cast("tinyint"), null_s, null_s)
         return (F.lit(term.value), F.lit(term.kind).cast("tinyint"),
                 F.lit(term.lang).cast("string"),

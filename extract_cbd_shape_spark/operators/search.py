@@ -42,8 +42,12 @@ def bm25_index(docs: DataFrame, id_col: str = "doc_id",
     (the BM25+ variant that never goes negative), avgdl/n_docs =
     corpus scalars carried as columns (constant-folded by Catalyst,
     negligible storage after parquet RLE)."""
+    # Persisted: the stats .first() below is an action, and without the
+    # persist the postings/dl join plan would re-run the tokenize pass
+    # over the full corpus a second time — on a large corpus the
+    # tokenize scan is the dominant build cost.
     toks = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")).persist()
     dl = toks.select(id_col, F.size("_t").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -335,8 +335,15 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
     """
     from extract_cbd_shape_spark.operators.closure import connected_components
 
-    cents = kmeans_centroids(embeddings, stride=stride, n_iter=n_iter,
-                             id_col=id_col, vec_col=vec_col).select(
+    # kmeans_centroids seeds by `id % stride` (numeric-only, the
+    # oracle-mirrorable contract it keeps for ivf_topk); semantic
+    # dedup takes ANY orderable id type, so seed the cells from a
+    # deterministic numeric surrogate instead
+    seeded = embeddings.select(
+        F.xxhash64(F.col(id_col).cast("string")).alias("_kid"),
+        F.col(vec_col))
+    cents = kmeans_centroids(seeded, stride=stride, n_iter=n_iter,
+                             id_col="_kid", vec_col=vec_col).select(
         "centroid_id", F.col("cv").alias("_cv"))
     e = embeddings.select(F.col(id_col).alias("_id"),
                           F.col(vec_col).alias("_v"))
@@ -363,14 +370,15 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.9,
         .filter(F.col("score") >= threshold)
         .select("left_id", "right_id")
     )
+    # ids keep their native type end-to-end: connected_components only
+    # needs orderable ids, and a cast (e.g. to long) would NULL out
+    # string ids and silently mark every row its own representative
     edges = pairs.select(
-        F.col("left_id").cast("string").alias("src"),
-        F.col("right_id").cast("string").alias("dst"))
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     comps = connected_components(edges)
-    reps = comps.groupBy("component").agg(
-        F.min(F.col("node").cast("long")).alias("_rep"))
+    reps = comps.groupBy("component").agg(F.min("node").alias("_rep"))
     grouped = (
-        comps.select(F.col("node").cast("long").alias("_id"), "component")
+        comps.select(F.col("node").alias("_id"), "component")
         .join(reps, "component")
         .select("_id", "_rep")
     )

@@ -286,6 +286,8 @@ def streaming_corpus_dedup(
     docs_out = os.path.join(out_dir, "docs")
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         sp = batch.sparkSession
         try:
             # STRICTLY earlier epochs only: a replayed batch must not
@@ -298,7 +300,13 @@ def streaming_corpus_dedup(
                 .filter(F.col("epoch") < batch_id)
                 .select("text_hash")
             )
-        except Exception:  # first batch: no index directory yet
+        except AnalysisException as e:
+            # ONLY the first batch's missing directory means "empty
+            # index". Any other read failure (corrupt footer, storage
+            # error) must fail the batch — treating it as empty would
+            # silently admit every historical duplicate as novel.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             index = sp.createDataFrame([], "text_hash string")
         survivors = dedup_new_against_index(batch, index)
         keep = (

@@ -306,7 +306,7 @@ def test_construct_blank_fresh_per_solution_shared_in_template(spark, triples):
     assert len(rows) == 4
     by_blank = {}
     for r in rows:
-        assert r.subject_kind == BLANK and r.subject.startswith("_:c")
+        assert r.subject_kind == BLANK and r.subject.startswith("c")
         by_blank.setdefault(r.subject, set()).add(r.object_value)
     # 2 solutions -> 2 distinct blanks, each carrying its own (m, name)
     assert len(by_blank) == 2
@@ -371,3 +371,96 @@ def test_parse_path_angle_bracketed_iris(spark, chain_triples):
     assert p.sequence[0].predicate == "http://a/p"
     with pytest.raises(ValueError, match="unclosed"):
         parse_path("<http://a/p")
+
+
+# ------------------------------------------------- round-4 review fixes
+
+
+def test_literal_cols_shared_object_var_null_safe_join(spark):
+    """A variable bound as object in two patterns must still join when
+    its lang/datatype are NULL (IRIs/plain literals) — the shared
+    lang/datatype columns join NULL-SAFELY (NULL lang == NULL lang is
+    the same literal identity)."""
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct, bgp_match
+
+    t = spark.createDataFrame(
+        [("a:1", 0, "p", "x:1", 0, None, None),
+         ("b:1", 0, "q", "x:1", 0, None, None)],
+        "subject string, subject_kind tinyint, predicate string, "
+        "object_value string, object_kind tinyint, object_lang string, "
+        "object_datatype string")
+    pats = [("?a", "p", "?x"), ("?b", "q", "?x")]
+    assert bgp_match(t, pats, with_kinds=True,
+                     literal_cols=True).count() == 1
+    g = bgp_construct(t, pats, template=[("?a", "kg:co", "?b")])
+    assert [(r.subject, r.object_value) for r in g.collect()] == \
+        [("a:1", "b:1")]
+    # and distinct langs still do NOT join (full literal identity)
+    t2 = spark.createDataFrame(
+        [("a:1", 0, "p", "chat", 2, "fr", None),
+         ("b:1", 0, "q", "chat", 2, "en", None)],
+        t.schema)
+    assert bgp_match(t2, pats, with_kinds=True,
+                     literal_cols=True).count() == 0
+
+
+def test_term_constants_in_patterns(spark):
+    """model.Term constants in pattern positions match full term
+    identity instead of crashing in F.lit (the CLI's quoted-literal
+    path)."""
+    from extract_cbd_shape_spark.model import LITERAL, Term
+    from extract_cbd_shape_spark.operators.bgp import bgp_match
+
+    t = spark.createDataFrame(
+        [("m:1", 0, "name", "Acme", 2, None, None),
+         ("m:2", 0, "name", "Acme", 0, None, None),   # IRI, not literal
+         ("m:3", 0, "name", "Acme", 2, "en", None)],
+        "subject string, subject_kind tinyint, predicate string, "
+        "object_value string, object_kind tinyint, object_lang string, "
+        "object_datatype string")
+    got = {r.m for r in bgp_match(
+        t, [("?m", "name", Term(LITERAL, "Acme"))]).collect()}
+    assert got == {"m:1"}  # kind + null-safe lang both discriminate
+    got = {r.m for r in bgp_match(
+        t, [("?m", "name", Term(LITERAL, "Acme", lang="en"))]).collect()}
+    assert got == {"m:3"}
+
+
+def test_construct_blank_values_are_bare_labels(spark, triples):
+    """Template blanks carry BARE labels (engine storage convention —
+    the N-Quads sink prepends '_:'); a baked-in prefix serialized as
+    the grammar-invalid '_:_:c…'."""
+    from extract_cbd_shape_spark.model import BLANK, Term
+    from extract_cbd_shape_spark.operators.bgp import bgp_construct
+    from extract_cbd_shape_spark.sinks.nquads import to_nquads
+
+    g = bgp_construct(triples, [("?m", "kbo:legalName", "?n")],
+                      template=[(Term(BLANK, "b"), "kg:of", "?m")])
+    rows = g.collect()
+    assert all(not r.subject.startswith("_:") for r in rows)
+    lines = [r.line for r in to_nquads(g).collect()]
+    assert lines and all(line.startswith("_:c") and "_:_:" not in line
+                         for line in lines)
+
+
+def test_zero_length_path_constant_endpoint_absent_from_graph(spark):
+    """SPARQL ALP: a constant endpoint contributes its reflexive
+    zero-length solution even when the term never occurs in the
+    data."""
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+
+    t = spark.createDataFrame(
+        [("a:1", 0, "p", "b:1", 0)],
+        "subject string, subject_kind tinyint, predicate string, "
+        "object_value string, object_kind tinyint")
+    got = {r.o for r in bgp_match(
+        t, [("ghost:1", parse_path("p?"), "?o")]).collect()}
+    assert got == {"ghost:1"}
+    got = {r.s for r in bgp_match(
+        t, [("?s", parse_path("p*"), "ghost:1")]).collect()}
+    assert got == {"ghost:1"}
+    # distinct constants on both ends: no zero-length escape hatch
+    assert bgp_match(
+        t, [("ghost:1", parse_path("p*"), "ghost:2")]).count() == 0
+    # and a reachable pair still matches
+    assert bgp_match(t, [("a:1", parse_path("p*"), "b:1")]).count() == 1

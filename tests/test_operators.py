@@ -254,3 +254,18 @@ def test_semantic_dedup_groups_and_reps(spark):
     # keep-filtered corpus has exactly one row per duplicate group
     kept = [k for k, r in out.items() if r.keep]
     assert len(kept) == 24
+
+
+def test_semantic_dedup_string_ids(spark):
+    """ids keep their native type: string ids (doc URLs) must dedup —
+    the earlier long-cast silently kept every duplicate."""
+    from extract_cbd_shape_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [("doc:a", [1.0] * 8), ("doc:b", [1.01] * 8), ("doc:z", [-1.0] * 8)],
+        "vec_id string, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(
+        vecs, threshold=0.99, stride=1, n_iter=1).collect()}
+    assert out["doc:a"].keep and out["doc:a"].rep_id == "doc:a"
+    assert not out["doc:b"].keep and out["doc:b"].rep_id == "doc:a"
+    assert out["doc:z"].keep
