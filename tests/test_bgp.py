@@ -464,3 +464,72 @@ def test_zero_length_path_constant_endpoint_absent_from_graph(spark):
         t, [("ghost:1", parse_path("p*"), "ghost:2")]).count() == 0
     # and a reachable pair still matches
     assert bgp_match(t, [("a:1", parse_path("p*"), "b:1")]).count() == 1
+
+
+def test_random_bgp_parity_vs_bruteforce(spark):
+    """Seeded-random BGPs (shared vars, constants, lang'd literals)
+    against a brute-force Python evaluator — pins the solution-join
+    semantics incl. the null-safe literal-identity columns."""
+    import itertools
+    import random
+
+    from extract_cbd_shape_spark.operators.bgp import bgp_match
+
+    rng = random.Random(42)
+    subs = ["s:1", "s:2", "s:3"]
+    preds = ["p", "q"]
+    objs = [("o:1", 0, None), ("v", 2, None), ("v", 2, "en"), ("o:2", 0, None)]
+
+    def brute(rows, pats):
+        sols = [dict()]
+        for (s, p, o) in pats:
+            nxt = []
+            for binding in sols:
+                for (rs, rsk, rp, rov, rok, rol) in rows:
+                    b = dict(binding)
+                    ok = True
+                    for term, val in ((s, (rs,)), (p, (rp,)),
+                                      (o, (rov, rok, rol))):
+                        if term.startswith("?"):
+                            key = term[1:]
+                            if key in b:
+                                if b[key] != val:
+                                    ok = False
+                                    break
+                            else:
+                                b[key] = val
+                        elif term != val[0]:
+                            ok = False
+                            break
+                    if ok:
+                        nxt.append(b)
+            sols = nxt
+        return sols
+
+    for trial in range(6):
+        rows = sorted(
+            {(rng.choice(subs), 0, rng.choice(preds), *rng.choice(objs))
+             for _ in range(rng.randint(4, 9))},
+            key=lambda t: tuple("" if x is None else str(x) for x in t))
+        pats = []
+        for _ in range(2):
+            pats.append((
+                rng.choice(["?a", "?b", rng.choice(subs)]),
+                rng.choice(["?p", rng.choice(preds)]),
+                rng.choice(["?x", "?a", rng.choice([o[0] for o in objs])]),
+            ))
+        df = spark.createDataFrame(
+            rows,
+            "subject string, subject_kind tinyint, predicate string, "
+            "object_value string, object_kind tinyint, object_lang string")
+        got = bgp_match(df, pats, with_kinds=True, literal_cols=True)
+        want = brute(rows, pats)
+        # compare on the VALUE bindings (first tuple element per var)
+        want_set = sorted(
+            tuple(sorted((k, v[0]) for k, v in b.items())) for b in want)
+        val_cols = [c for c in got.columns
+                    if not c.endswith(("_kind", "_lang", "_datatype"))]
+        got_set = sorted(
+            tuple(sorted((c, r[c]) for c in val_cols))
+            for r in got.collect())
+        assert got_set == want_set, (trial, pats, rows)
