@@ -173,6 +173,7 @@ class BulkCBDShapeExtractor:
         max_deref_rounds: int = 8,
         materialize_waves: bool = False,
         store_distinct: bool = False,
+        broadcast_members_max: int = 2_000_000,
     ):
         """``materialize_waves`` picks the CBD wave-loop physical
         strategy — a genuine cost tradeoff, like exchange reuse vs
@@ -209,6 +210,32 @@ class BulkCBDShapeExtractor:
         100 TB regime this engine exists for. Leave False when the
         store may repeat quads; results then match the reference's
         per-extraction dedup exactly regardless of input duplication.
+
+        ``broadcast_members_max`` selects the engine's physical join
+        regime by the driver-known member-seed count (the one size the
+        engine always knows without touching the corpus):
+
+        * seeds <= the knob (**latency mode**): the store is persisted
+          AS-IS (no subject repartition — at small scale that shuffle
+          is a pure fixed-cost barrier before any work) and every
+          frontier/member join whose build side has a driver-known row
+          count within the knob is an explicit ``broadcast`` — the
+          whole extraction becomes K map-side passes over the cached
+          store, and inverse hops need no object-keyed second copy at
+          all. Frontier counts are tracked per wave (the emptiness
+          probe becomes a count on already-checkpointed rows), so a
+          blank closure that outgrows the knob falls back to
+          shuffle-hash for that wave — broadcasts stay bounded by
+          construction, never by luck.
+        * seeds > the knob (**scale mode**, the 100 TB regime): the
+          original plan — store hash-partitioned by subject once and
+          persisted (the SPOG index analogue), shuffle-hash frontier
+          joins streaming the store side, object-keyed copy for
+          inverse hops (POSG). Broadcasting a corpus-scaled seed set
+          would be a driver/executor OOM; this is why the knob exists.
+
+        Set 0 to force scale mode (plan-shape tests pin it); results
+        are identical in both regimes — only join strategy changes.
         """
         self.spark = spark
         self.shapes_graph = shapes_graph
@@ -218,6 +245,7 @@ class BulkCBDShapeExtractor:
         self.max_deref_rounds = max_deref_rounds
         self.materialize_waves = materialize_waves
         self.store_distinct = store_distinct
+        self.broadcast_members_max = broadcast_members_max
         # persisted store copies / trie caches created by runs of this
         # extractor, released by release()
         self._persisted: List[DataFrame] = []
@@ -281,6 +309,10 @@ class BulkCBDShapeExtractor:
             mdf = mdf.withColumn(
                 "member_id", F.xxhash64("entity", "entity_kind", "input_idx")
             ).localCheckpoint()
+            # One cheap count over the just-checkpointed seeds: the
+            # driver-known size that picks latency vs scale mode (see
+            # ctor doc on broadcast_members_max).
+            n_members = mdf.count()
             # Seed shape keys are compile-time constants unless the
             # caller shipped a custom per-member shape_key column.
             init_keys = (
@@ -290,7 +322,8 @@ class BulkCBDShapeExtractor:
             run = _Run(self, triples, mdf, bulk,
                        global_ignores=tuple(graphs_to_ignore or ()),
                        store_partitioned=store_partitioned,
-                       initial_shape_keys=init_keys)
+                       initial_shape_keys=init_keys,
+                       n_members=n_members)
             return run.execute()
 
         norm: List[Member] = []
@@ -312,7 +345,8 @@ class BulkCBDShapeExtractor:
         resolved: set = set()
         for _ in range(self.max_deref_rounds):
             run = _Run(self, triples, norm, bulk,
-                       store_partitioned=store_partitioned)
+                       store_partitioned=store_partitioned,
+                       n_members=len(norm))
             results, flags = run.execute()
             if not self.resolver:
                 return results, flags
@@ -341,7 +375,8 @@ class BulkCBDShapeExtractor:
         """Match one SHACL path from the given focus nodes (lib/Path.ts
         match API). Returns target rows (member_id, node, node_kind,
         node_lang, node_datatype, pos, path_quads)."""
-        run = _Run(self, triples, [Member(t) for t in focus], bulk=False)
+        run = _Run(self, triples, [Member(t) for t in focus], bulk=False,
+                   n_members=len(focus))
         empty_quads = F.array().cast(f"array<{QUAD_STRUCT_DDL}>")
         focus_df = run.members_df.select(
             "member_id", "entity", "entity_kind",
@@ -361,11 +396,24 @@ class _Run:
                  members: Union[List[Member], DataFrame], bulk: bool,
                  global_ignores: Sequence[Term] = (),
                  store_partitioned: bool = False,
-                 initial_shape_keys: Optional[set] = None):
+                 initial_shape_keys: Optional[set] = None,
+                 n_members: Optional[int] = None):
         self.ex = ex
         self.spark = ex.spark
         self.bulk = bulk
         self.shapes = ex.shapes_graph
+        # Latency vs scale physical regime (ctor doc on
+        # broadcast_members_max): decided by the driver-known seed
+        # count, refined per frontier by wave counts.
+        self.n_members = n_members
+        self.latency = (
+            ex.broadcast_members_max > 0
+            and n_members is not None
+            and n_members <= ex.broadcast_members_max
+        )
+        # Row count of the current round's work set (seeds for round
+        # 1); bounds every frontier/focus build side derived from it.
+        self._round_count: Optional[int] = n_members
         # Driver-known seed shape keys (None = unknown, collect once).
         self.initial_shape_keys = initial_shape_keys
         # graphs ignored for EVERY member (DataFrame-members path, where
@@ -436,6 +484,14 @@ class _Run:
             # Caller-provided clustering (bucketed table / upstream
             # repartition): no full-store copy, joins reuse it as-is.
             self.triples = t
+        elif self.latency:
+            # Latency mode: no subject repartition — frontier joins
+            # broadcast their (counted-small) build side, so the store
+            # needs no clustering at all; persist() caches the tagged
+            # quads inside the first consuming job (no extra barrier)
+            # for the later waves / final emission / pickup passes.
+            self.triples = t.persist()
+            ex._persisted.append(self.triples)
         else:
             # persist, not localCheckpoint: the repartition materializes
             # INSIDE the first wave's join job (no standalone ingest
@@ -461,12 +517,20 @@ class _Run:
         # distinct/checkpoint job is needed to maintain it. An empty
         # parts list elides the memo-skip branch driver-side.
         self._visited_cbd_parts: List[DataFrame] = []
+        # Upper bound on the visited set's rows (latency mode: sum of
+        # counted frontier adds) — lets the visited anti/semi-joins
+        # broadcast their build side map-side instead of exchanging
+        # both sides per probe. None = unknown (scale mode).
+        self._visited_cbd_n: Optional[int] = 0 if self.latency else None
         self.processed_parts: List[DataFrame] = []  # for deref flagging
         # Lean-mode CBD emission: per-wave star joins are NOT appended
         # to result_parts individually — their (disjoint) frontiers
         # accumulate here and ONE fused (union-of-frontiers x store)
         # join emits every CBD quad in the final action (see execute).
         self._cbd_emit_frontiers: List[DataFrame] = []
+        # Parallel per-frontier row counts (latency mode; None when
+        # unknown) — their sum bounds the fused join's broadcast side.
+        self._cbd_emit_counts: List[Optional[int]] = []
 
     # --------------------------------------------------------------- helpers
 
@@ -493,6 +557,20 @@ class _Run:
             )
         return df
 
+    def _seed(self, df: DataFrame, cnt: Optional[int]) -> DataFrame:
+        """Physical hint for a frontier/member build side. Latency mode
+        with a driver-known count within the knob: explicit broadcast
+        (the probe/store side then streams map-side with no exchange).
+        Otherwise shuffle-hash: build the small side's hash table,
+        stream the subject-partitioned store — never sort it."""
+        if (
+            self.latency
+            and cnt is not None
+            and cnt <= self.ex.broadcast_members_max
+        ):
+            return F.broadcast(df)
+        return df.hint("shuffle_hash")
+
     def _obj_triples(self) -> DataFrame:
         """Object-keyed second copy of the store — the reference's POSG
         index ordering (lib/Utils.ts:10-23, lookup pattern
@@ -502,7 +580,13 @@ class _Run:
         corpus per wave. HashPartitioning on (object_value, object_kind)
         is a subset of the inverse join's keys, so it satisfies the
         join's clustered distribution — only the frontier side
-        exchanges. Shapes without inverse paths never pay for it."""
+        exchanges. Shapes without inverse paths never pay for it.
+
+        Latency mode needs NO second copy: inverse joins broadcast the
+        counted frontier against the cached store directly — the copy
+        exists to give shuffle-hash joins a reusable clustering."""
+        if self.latency:
+            return self.triples
         if self._obj_copy is None:
             self._obj_copy = self.triples.repartition(
                 F.col("object_value"), F.col("object_kind")
@@ -516,8 +600,25 @@ class _Run:
             out = out.unionByName(p)
         return out
 
-    def _visited_cbd_add(self, part: DataFrame) -> None:
+    def _visited_build(self, df: DataFrame) -> DataFrame:
+        """Build side of a visited anti/semi-join: broadcast when the
+        tracked row bound fits the latency knob (turns each per-round
+        memo probe into a map-side scan), else plain (shuffle both)."""
+        if (
+            self.latency
+            and self._visited_cbd_n is not None
+            and self._visited_cbd_n <= self.ex.broadcast_members_max
+        ):
+            return F.broadcast(df)
+        return df
+
+    def _visited_cbd_add(self, part: DataFrame,
+                         n: Optional[int] = None) -> None:
         self._visited_cbd_parts.append(part)
+        if self._visited_cbd_n is not None:
+            self._visited_cbd_n = (
+                self._visited_cbd_n + n if n is not None else None
+            )
         # deep recursions: cap lazy plan growth
         if len(self._visited_cbd_parts) > 8:
             self._visited_cbd_parts = [
@@ -595,7 +696,7 @@ class _Run:
             frontier = base
             skipped = None
         else:
-            visited = self._visited_cbd_df()
+            visited = self._visited_build(self._visited_cbd_df())
             frontier = base.join(
                 visited, ["member_id", "node", "node_kind"], "left_anti"
             )
@@ -603,14 +704,16 @@ class _Run:
                 visited, ["member_id", "node", "node_kind"], "left_semi"
             )
         self._visited_cbd_add(
-            frontier.select("member_id", "node", "node_kind"))
+            frontier.select("member_id", "node", "node_kind"),
+            n=self._round_count)
         t = self.triples
 
-        def star_join(f_rows: DataFrame, keep_extra: List[str]) -> DataFrame:
-            # shuffle_hash: build on the (small) frontier, stream the
-            # subject-partitioned store — avoids SMJ re-sorting the whole
-            # store on every wave.
-            f = f_rows.hint("shuffle_hash").alias("f")
+        def star_join(f_rows: DataFrame, keep_extra: List[str],
+                      f_count: Optional[int] = None) -> DataFrame:
+            # Build on the (small) frontier: broadcast when its count
+            # is driver-known small (latency mode), else shuffle_hash —
+            # stream the subject-partitioned store, never sort it.
+            f = self._seed(f_rows, f_count).alias("f")
             tt = t.alias("t")
             cond = (F.col("f.node") == F.col("t.subject")) & (
                 F.col("f.node_kind") == F.col("t.subject_kind")
@@ -656,8 +759,12 @@ class _Run:
 
         star_parts: List[DataFrame] = []
         materialize = self.ex.materialize_waves
+        # Wave frontier row count (latency mode): wave 0 is bounded by
+        # the round's work set; later waves by the blank-children count
+        # taken at the wave checkpoint (it doubles as emptiness probe).
+        f_count = self._round_count
         if skipped is not None:
-            lazy_star = star_join(skipped, extra)
+            lazy_star = star_join(skipped, extra, f_count)
             self.trie_parts.append(words(lazy_star))
             star_parts.append(tproj(lazy_star))
             # Revisit-heavy rounds (every node already CBD-visited —
@@ -669,7 +776,7 @@ class _Run:
                 return star0()
         wave = 0
         while True:
-            joined = star_join(frontier, extra if wave == 0 else [])
+            joined = star_join(frontier, extra if wave == 0 else [], f_count)
             if materialize:
                 # ONE materialization per wave, at full quad width:
                 # result quads, trie words, blank frontier and (wave 0)
@@ -695,6 +802,7 @@ class _Run:
                         "node", "node_kind",
                     )
                 )
+                self._cbd_emit_counts.append(f_count)
             self.trie_parts.append(words(joined))
             blank_children = (
                 joined.filter(F.col("object_kind") == BLANK)
@@ -705,7 +813,7 @@ class _Run:
                     F.col("_new_pos").alias("pos"),
                 )
                 .join(
-                    self._visited_cbd_df(),
+                    self._visited_build(self._visited_cbd_df()),
                     ["member_id", "node", "node_kind"],
                     "left_anti",
                 )
@@ -765,9 +873,19 @@ class _Run:
                     )
                 else:
                     nxt = blank_children.localCheckpoint()
-            if self._empty(nxt):
-                return star0()
-            self._visited_cbd_add(nxt.select("member_id", "node", "node_kind"))
+            if self.latency:
+                # Latency mode: the emptiness probe is a count over the
+                # just-checkpointed rows — same single cheap job, and
+                # the count bounds the next wave's broadcast.
+                f_count = nxt.count()
+                if f_count == 0:
+                    return star0()
+            else:
+                if self._empty(nxt):
+                    return star0()
+                f_count = None
+            self._visited_cbd_add(nxt.select("member_id", "node", "node_kind"),
+                                  n=f_count)
             frontier = nxt.select(
                 "member_id", "entity", "entity_kind", "node", "node_kind", "pos"
             )
@@ -981,11 +1099,23 @@ class _Run:
                 "member_id", "node", "node_kind"
             )
         ]
+        # row bound for the shape-visited memo (latency mode): seeds +
+        # each round's claimed work — broadcasts the memo anti-join.
+        visited_shape_n = [self.n_members] if self.latency else [None]
 
         def _visited_shape() -> DataFrame:
             out = visited_parts[0]
             for p in visited_parts[1:]:
                 out = out.unionByName(p)
+            n = (
+                sum(visited_shape_n)
+                if all(x is not None for x in visited_shape_n) else None
+            )
+            if (
+                self.latency and n is not None
+                and n <= self.ex.broadcast_members_max
+            ):
+                return F.broadcast(out)
             return out
 
         rounds = 0
@@ -997,7 +1127,15 @@ class _Run:
         # Only when several keys are possible do we collect to prune,
         # since processing a phantom key costs empty-frontier jobs.
         candidates = self.initial_shape_keys
-        while not self._empty(work) and rounds < self.ex.max_rounds:
+        while rounds < self.ex.max_rounds:
+            if self.latency:
+                # round count known: seeds for round 1, the work
+                # checkpoint's count (taken below) afterwards — the
+                # emptiness probe costs no extra job in this mode.
+                if self._round_count == 0:
+                    break
+            elif self._empty(work):
+                break
             rounds += 1
             if candidates is not None and len(candidates) == 1:
                 shape_keys = list(candidates)
@@ -1064,6 +1202,11 @@ class _Run:
             # probe and _cbd's frontier probes, which re-ran it 2-3x —
             # one materialization consumed by several eager probes wins.
             work = claim.unionByName(lit_work).localCheckpoint()
+            if self.latency:
+                # next round's count (cheap: work just materialized);
+                # doubles as the loop's emptiness probe.
+                self._round_count = work.count()
+                visited_shape_n.append(self._round_count)
             # The claimed rows are inside work's checkpoint — the next
             # round's visited anti-join reads them from there for free.
             visited_parts.append(
@@ -1104,17 +1247,25 @@ class _Run:
             fr = self._cbd_emit_frontiers[0]
             for p in self._cbd_emit_frontiers[1:]:
                 fr = fr.unionByName(p)
+            fr_count = (
+                sum(self._cbd_emit_counts)
+                if all(c is not None for c in self._cbd_emit_counts)
+                else None
+            )
             if wide:
                 # shape_key/input_idx ride the frontier (orders of
                 # magnitude narrower than the output); entity columns
                 # are already there.
                 fr = fr.join(
-                    self.members_df.hint("shuffle_hash").select(
-                        "member_id", "shape_key", "input_idx"
+                    self._seed(
+                        self.members_df.select(
+                            "member_id", "shape_key", "input_idx"
+                        ),
+                        self.n_members,
                     ),
                     "member_id",
                 )
-            f = fr.hint("shuffle_hash").alias("f")
+            f = self._seed(fr, fr_count).alias("f")
             tt0 = self.triples.alias("t")
             j = f.join(
                 tt0,
@@ -1138,7 +1289,7 @@ class _Run:
 
         # Named-graph member pickup (lib/CBDShapeExtractor.ts:317-324) —
         # graph filters do NOT apply here.
-        m = self.members_df.hint("shuffle_hash").alias("m")
+        m = self._seed(self.members_df, self.n_members).alias("m")
         tt = self.triples.alias("t")
         pickup_attrs = [f"m.{c}" for c in attr_cols] if wide else []
         pickup = m.join(
@@ -1176,6 +1327,7 @@ class _Run:
                 F.col("node_kind").alias("subject_kind"),
             )
             anti_keys = ["member_id", "subject", "subject_kind"]
+            visited = self._visited_build(visited)
             if self.ex.cbd_default_graph:
                 wit = (
                     wit.filter(F.col("graph").isNull())
@@ -1186,11 +1338,13 @@ class _Run:
                 )
             else:
                 wit = wit.join(visited, anti_keys, "left_anti")
-            # attrs ride the (small) witness slice — shuffle_hash keeps
-            # AQE free to broadcast the member side when it fits.
+            # attrs ride the (small) witness slice — broadcast in
+            # latency mode, shuffle_hash otherwise (AQE still free to
+            # broadcast the member side when it fits).
             wit = wit.join(
-                self.members_df.hint("shuffle_hash").select(
-                    "member_id", *attr_cols
+                self._seed(
+                    self.members_df.select("member_id", *attr_cols),
+                    self.n_members,
                 ),
                 "member_id",
             )
@@ -1239,7 +1393,8 @@ class _Run:
             results = (
                 results.repartition(F.col("member_id"))
                 .dropDuplicates(["member_id", *QUAD_COLS])
-                .join(self.members_df.hint("shuffle_hash"), "member_id")
+                .join(self._seed(self.members_df, self.n_members),
+                      "member_id")
             )
         # Returned LAZY: eagerly checkpointing here materialized the
         # full output once to storage and again at the caller's action —
@@ -1450,7 +1605,10 @@ class _Run:
                 )
                 tgt = ("t.subject", "t.subject_kind", None, None)
             pass_cols = [c for c in focus_base.columns if c not in _NODE_COLS]
-            joined = f.hint("shuffle_hash").join(tt, cond, "inner")
+            # focus side = this round's work set — its count bounds the
+            # build side (latency mode broadcasts, scale mode hashes).
+            joined = self._seed(focus_base, self._round_count).alias(
+                "f").join(tt, cond, "inner")
             joined = self._graph_filter(
                 joined.select(
                     *[F.col(f"f.{c}").alias(c) for c in pass_cols],
@@ -1467,7 +1625,14 @@ class _Run:
             joined = joined.withColumn(
                 "pos", _sql_extend_word(F.col("_old_pos"), sign, F.col("_q_predicate"))
             )
-            joined = joined.localCheckpoint()
+            if not self.latency:
+                # Scale mode: several consumers (witness slice, trie,
+                # per-pred targets) must not re-run a shuffle join —
+                # one materialization wins. Latency mode: the join is a
+                # broadcast map-side pass over the cached store; its
+                # recompute costs less than an eager barrier + write,
+                # so consumers re-derive it lazily in the final action.
+                joined = joined.localCheckpoint()
             quad_cols = [F.col(f"_q_{c}").alias(c) for c in QUAD_COLS]
             # Witness emission + found-gate (the non-elided directions:
             # closed shapes, inverse hops, cbd_default_graph). Inverse

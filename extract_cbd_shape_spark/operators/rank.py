@@ -14,9 +14,12 @@ Pure DataFrame iteration, the classic Spark shape:
   of the edge set);
 * each iteration is ONE join (ranks x contribs) + ONE groupBy(dst)
   sum — both map-side combinable; dangling mass (nodes with no
-  out-edges) is collected per round as a single scalar aggregate and
-  redistributed uniformly, keeping the rank vector a probability
-  distribution (sum == 1) so results are comparable across graphs;
+  out-edges) is a 1-row aggregate cross-joined (broadcast) into the
+  rank update, so it rides the SAME per-round job instead of a
+  separate driver action — one action per round (the
+  localCheckpoint), not two; redistributed uniformly it keeps the
+  rank vector a probability distribution (sum == 1) so results are
+  comparable across graphs;
 * ranks are localCheckpointed per round to cut lineage (the
   fixpoint-loop convention shared with `operators/closure.py`).
 
@@ -75,12 +78,15 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes)).localCheckpoint()
     for _ in range(iterations):
         # dangling mass this round: rank sitting on nodes with no
-        # out-edges (single scalar — the one driver-side value per
-        # round, like the fixpoint loops' emptiness probes)
+        # out-edges. A 1-row aggregate broadcast-cross-joined into the
+        # rank update — it runs INSIDE the round's one job (the
+        # localCheckpoint below) instead of a separate .first() driver
+        # round-trip per iteration (VERDICT r4 #7). ranks is
+        # checkpointed, so the two consumers (this aggregate and the
+        # inflow join) re-read materialized rows, not lineage.
         dangling = (
             ranks.join(has_out, "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling"))
         )
         inflow = (
             ranks.withColumnRenamed("node", "src")
@@ -90,12 +96,14 @@ def pagerank(
         )
         ranks = (
             nodes.join(inflow, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (F.lit(teleport)
                  + F.lit(damping)
                  * (F.coalesce(F.col("_in"), F.lit(0.0))
-                    + F.lit(dangling / n_nodes))).alias("rank"),
+                    + F.col("_dangling") / F.lit(float(n_nodes)))
+                 ).alias("rank"),
             )
             .localCheckpoint()
         )

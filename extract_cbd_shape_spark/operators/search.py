@@ -15,10 +15,18 @@ Physical shape at 100 TB:
   are BAKED into the index as columns, so searching needs no side
   state.
 * a query filters the index with `term IN (...)` — write the index
-  sorted/partitioned by term (`materialize_table(bucket_by="term")`)
-  and that filter prunes row groups/partitions before any compute —
-  then one groupBy(doc) sum and a global top-k (`orderBy.limit` =
-  TakeOrdered, never a full sort).
+  range-partitioned AND sorted by term
+  (``index.repartitionByRange(N, "term").sortWithinPartitions("term")``
+  to parquet) and that filter prunes files/row groups from their
+  footer min/max stats before any data pages are read
+  (test_bm25_index_term_pruning_materialized pins the PushedFilters
+  line and the footer-level byte shrink vs an unsorted layout; BENCH.md
+  carries the measured numbers) — then one groupBy(doc) sum and a
+  global top-k (`orderBy.limit` = TakeOrdered, never a full sort).
+  (`materialize_table(bucket_by="term")` gives hash-bucket locality —
+  one file per term group — useful for co-located joins, but an IN
+  filter cannot prune hash buckets from stats; range+sort is the
+  pruning layout.)
 """
 
 from __future__ import annotations

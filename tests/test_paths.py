@@ -82,7 +82,11 @@ def test_inverse_join_uses_object_keyed_copy(spark):
 
     quads = quads_to_df(spark, parse_trig(load_fixture("05 - paths/data.ttl")))
     sg = ShapesGraph.from_quads(parse_trig(load_fixture("05 - paths/shape.ttl")))
-    ex = BulkCBDShapeExtractor(spark, shapes_graph=sg)
+    # broadcast_members_max=0 pins SCALE mode: latency mode needs no
+    # object-keyed copy at all (frontiers broadcast), so this test
+    # forces the shuffle regime whose plan shape it asserts.
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=sg,
+                               broadcast_members_max=0)
     # AllTogetherPathShape nests an inverse inside an alternative inside
     # a multipath -> several inverse joins across BFS waves
     res, _ = ex.extract(quads, [Term(IRI, EX + "B")],

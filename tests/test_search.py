@@ -78,3 +78,65 @@ def test_bm25_empty_query_and_no_hits(spark, index):
 def test_bm25_top_k_limit_and_rank(spark, index):
     rows = bm25_search(index, "spark engine", k=1).collect()
     assert len(rows) == 1 and rows[0].rank == 1 and rows[0].doc_id == 2
+
+
+def test_bm25_index_term_pruning_materialized(spark, tmp_path):
+    """VERDICT r4 #6: the docstring's pruning claim, pinned. An index
+    written range-partitioned + sorted by term serves a term-IN query
+    with (a) the In(term, ...) filter PUSHED into the parquet scan and
+    (b) footer min/max stats that exclude most files/row groups — the
+    bytes a reader must touch shrink vs an unsorted layout. The footer
+    arithmetic below is exactly the stats test the parquet reader runs
+    per row group, so it measures prunable bytes layout-by-layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from extract_cbd_shape_spark.operators.search import bm25_index, bm25_search
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    index = bm25_index(docs, id_col="doc_id", text_col="text")
+
+    sorted_dir = str(tmp_path / "by_term")
+    shuffled_dir = str(tmp_path / "unsorted")
+    (index.repartitionByRange(16, "term").sortWithinPartitions("term")
+     .write.parquet(sorted_dir))
+    # adversarial control: order by doc -> every file spans the whole
+    # term alphabet
+    (index.repartition(16, F.col("doc_id")).write.parquet(shuffled_dir))
+
+    terms = ["data", "model"]
+    hits = spark.read.parquet(sorted_dir).filter(F.col("term").isin(terms))
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "In(term" in plan, plan[:1500]
+
+    def prunable(path):
+        total = touched = 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                sz = g.total_byte_size
+                total += sz
+                col = next(
+                    g.column(i) for i in range(g.num_columns)
+                    if g.column(i).path_in_schema == "term")
+                st = col.statistics
+                if st is None or any(
+                        st.min <= t <= st.max for t in terms):
+                    touched += sz
+        return touched, total
+
+    touched_sorted, total_sorted = prunable(sorted_dir)
+    touched_shuffled, total_shuffled = prunable(shuffled_dir)
+    print(f"bm25 pruning: sorted reads {touched_sorted}/{total_sorted} bytes,"
+          f" unsorted reads {touched_shuffled}/{total_shuffled}")
+    # unsorted layout: term stats span everything, nothing prunes
+    assert touched_shuffled == total_shuffled
+    # sorted layout: the IN-list touches a small slice of the index
+    assert touched_sorted <= total_sorted * 0.5
+
+    # and the search over the materialized sorted index still ranks
+    got = bm25_search(spark.read.parquet(sorted_dir), "data model", k=3)
+    assert got.count() > 0

@@ -381,3 +381,28 @@ def test_materialize_waves_modes_agree(spark):
         res, _ = ex.extract(triples, members, shape=shape)
         sets.append({tuple(r) for r in res.select(*cols).collect()})
     assert sets[0] == sets[1] and len(sets[0]) > 0
+
+
+def test_latency_and_scale_modes_agree(spark):
+    """Latency mode (broadcast counted frontiers, un-repartitioned
+    cached store, no object-keyed copy) and scale mode (shuffle-hash
+    joins over the subject-partitioned store) are the same logical
+    plan under two physical regimes — results must be identical,
+    including inverse paths and the witness slice."""
+    from extract_cbd_shape_spark.operators.kgtriples import (
+        KBO_SHAPE_INV_TTL, KBO_SHAPE_IRI, kbo_members)
+
+    triples, members = kbo_members(
+        spark, "/root/testdata/sf0.001", inverse_edges=2)
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_INV_TTL))
+    shape = Term(IRI, KBO_SHAPE_IRI)
+    cols = ["entity", "subject", "predicate", "object_value"]
+    sets = []
+    for knob in (2_000_000, 0):  # latency, then forced scale
+        ex = BulkCBDShapeExtractor(
+            spark, shapes_graph=shapes, store_distinct=True,
+            broadcast_members_max=knob)
+        res, _ = ex.extract(triples, members, shape=shape)
+        sets.append({tuple(r) for r in res.select(*cols).collect()})
+        ex.release()
+    assert sets[0] == sets[1] and len(sets[0]) > 0

@@ -26,11 +26,16 @@ import os
 import sys
 
 
-def _queries(path: str) -> dict:
+def _load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
     if "parsed" in d:  # driver BENCH_r*.json wrapper
         d = d["parsed"]
+    return d
+
+
+def _queries(path: str) -> dict:
+    d = _load(path)
     return d.get("queries", d)
 
 
@@ -38,7 +43,17 @@ def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
         return 2
-    cur = _queries(sys.argv[1])
+    cur_doc = _load(sys.argv[1])
+    cur = cur_doc.get("queries", cur_doc)
+    gate = cur_doc.get("regression_gate")
+    if gate:
+        # bench.py already adjudicated with best-of-N forked reps
+        # (VERDICT r4 #2): recorded numbers are post-retry minima; echo
+        # its embedded verdict alongside the recomputation below.
+        rr = gate.get("reps") or {}
+        rep_note = f", retried: {rr}" if rr else ""
+        print(f"[embedded gate] pass={gate.get('pass')} "
+              f"failures={gate.get('failures')}{rep_note}")
     ref_path = (
         sys.argv[2] if len(sys.argv) > 2
         else os.path.join(os.path.dirname(os.path.dirname(
