@@ -153,28 +153,55 @@ _PATH_CHARS = set("/|^+*?()")
 def _query_term(tok: str):
     """CLI pattern/template token -> BGP term. ``?x`` = variable,
     ``<iri>`` = IRI constant (angle brackets stripped), ``"text"`` =
-    literal Term, ``_:l`` = blank Term (template blank label), anything
-    else = bare IRI/prefixed-name constant."""
+    literal Term — optionally suffixed ``"chat"@en`` (language tag) or
+    ``"5"^^xsd:int`` / ``"5"^^<iri>`` (datatype) — ``_:l`` = blank
+    Term (template blank label), anything else = bare IRI/
+    prefixed-name constant."""
     from extract_cbd_shape_spark.model import BLANK, LITERAL
 
     if tok.startswith("?"):
         return tok
     if tok.startswith("<") and tok.endswith(">"):
         return tok[1:-1]
-    if tok.startswith('"') and tok.endswith('"') and len(tok) >= 2:
-        return Term(LITERAL, tok[1:-1])
+    if tok.startswith('"'):
+        m = re.match(
+            r'^"(.*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^(\S+))?$', tok, re.S)
+        if not m:
+            sys.exit(f"malformed literal token: {tok!r}")
+        val, lang, dt = m.group(1), m.group(2), m.group(3)
+        if dt and dt.startswith("<") and dt.endswith(">"):
+            dt = dt[1:-1]
+        return Term(LITERAL, val, lang=lang, datatype=dt)
     if tok.startswith("_:"):
         return Term(BLANK, tok[2:])
     return tok
 
 
 def _query_pattern(spec: str):
-    """One ``--pattern``/``--construct`` spec: three whitespace-split
-    tokens. A predicate token that is neither a variable nor
-    ``<bracketed>`` and contains path syntax (``/ | ^ + * ? ( )``)
-    compiles as a property path; bracket full IRIs containing ``/`` to
-    force a plain constant."""
-    toks = spec.split()
+    """One ``--pattern``/``--construct`` spec: three tokens split with
+    quote-aware lexing (``shlex`` non-POSIX mode — ADVICE r4), so a
+    literal containing spaces (``?s kbo:label "two words"``) stays one
+    token with its quotes intact. A predicate token that is neither a
+    variable nor ``<bracketed>`` and contains path syntax
+    (``/ | ^ + * ? ( )``) compiles as a property path; bracket full
+    IRIs containing ``/`` to force a plain constant."""
+    import shlex
+
+    try:
+        toks = shlex.split(spec, posix=False)
+    except ValueError as e:
+        sys.exit(f"malformed pattern {spec!r}: {e}")
+    # non-POSIX shlex ends a token at the closing quote, splitting
+    # "chat"@en into ["chat"] + [@en] — glue @lang/^^datatype suffixes
+    # back onto their literal
+    merged: list = []
+    for t in toks:
+        if (merged and merged[-1].startswith('"')
+                and (t.startswith("@") or t.startswith("^^"))):
+            merged[-1] += t
+        else:
+            merged.append(t)
+    toks = merged
     if len(toks) != 3:
         sys.exit(f"pattern must have 3 terms: {spec!r}")
     s, p, o = toks

@@ -197,14 +197,28 @@ def _path_pairs(triples: DataFrame, path: Path,
             F.col("object_value").alias("_dst"),
         )
     if isinstance(path, InversePath):
-        inner = _path_pairs(triples, path.path)
+        # endpoint constants swap through an inverse (ADVICE r4): the
+        # inner path's source is the outer destination — a nested
+        # closure then keeps its constant-endpoint zero-length domain
+        # (ghost:1 ^p* ?o still binds the reflexive ghost:1 solution)
+        inner = _path_pairs(triples, path.path,
+                            src_const=dst_const, dst_const=src_const)
         return inner.select(
             F.col("_dst").alias("_src"), F.col("_src").alias("_dst")
         )
     if isinstance(path, SequencePath):
-        cur = _path_pairs(triples, path.sequence[0], src_const=src_const)
-        for stp in path.sequence[1:]:
-            nxt = _path_pairs(triples, stp).select(
+        # src reaches the first step, dst the last (both when the
+        # sequence is a single element): SPARQL evaluates a sequence
+        # left-to-right from the subject, so only the edge steps see a
+        # bound endpoint
+        last = len(path.sequence) - 1
+        cur = _path_pairs(triples, path.sequence[0], src_const=src_const,
+                          dst_const=dst_const if last == 0 else None)
+        for i, stp in enumerate(path.sequence[1:], start=1):
+            nxt = _path_pairs(
+                triples, stp,
+                dst_const=dst_const if i == last else None,
+            ).select(
                 F.col("_src").alias("_mid"), F.col("_dst").alias("_nxt")
             )
             cur = cur.join(nxt, cur["_dst"] == F.col("_mid")).select(
@@ -212,7 +226,10 @@ def _path_pairs(triples: DataFrame, path: Path,
             )
         return cur
     if isinstance(path, AlternativePath):
-        outs = [_path_pairs(triples, b) for b in path.alternatives]
+        # each branch is evaluated with the same bound endpoints
+        outs = [_path_pairs(triples, b, src_const=src_const,
+                            dst_const=dst_const)
+                for b in path.alternatives]
         res = outs[0]
         for o in outs[1:]:
             res = res.unionByName(o)
@@ -363,7 +380,10 @@ def _compile_pattern(triples: DataFrame, pat, with_kinds: bool,
             if kind_col and kind_col in triples.columns:
                 df = df.filter(F.col(kind_col) == F.lit(term.kind))
             if pos == "object_value":
-                from extract_cbd_shape_spark.model import XSD_STRING
+                from extract_cbd_shape_spark.model import (
+                    RDF_LANGSTRING,
+                    XSD_STRING,
+                )
 
                 for suffix, want in (("lang", term.lang),
                                      ("datatype", term.datatype)):
@@ -379,6 +399,15 @@ def _compile_pattern(triples: DataFrame, pat, with_kinds: bool,
                         df = df.filter(
                             F.col(src).isNull()
                             | (F.col(src) == F.lit(XSD_STRING)))
+                    elif (suffix == "datatype" and term.lang is not None
+                            and want in (None, RDF_LANGSTRING)):
+                        # RDF 1.1: a language-tagged literal's datatype
+                        # IS rdf:langString (implied by the tag) — the
+                        # TriG parser stores it explicitly, flat
+                        # builders leave it NULL; both are the same term
+                        df = df.filter(
+                            F.col(src).isNull()
+                            | (F.col(src) == F.lit(RDF_LANGSTRING)))
                     else:
                         df = df.filter(
                             F.col(src).eqNullSafe(
@@ -438,6 +467,10 @@ def bgp_match(
     optional: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
     filters: Optional[Sequence[str]] = None,
     literal_cols: bool = False,
+    union: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
+    values: Optional[Tuple[Sequence[str], Sequence[Sequence]]] = None,
+    order_by: Optional[Sequence[str]] = None,
+    limit: Optional[int] = None,
 ) -> DataFrame:
     """Match a conjunction of (subject, predicate, object) patterns.
 
@@ -491,8 +524,63 @@ def bgp_match(
     uses FULL literal identity (value, lang, datatype) — the engine's
     term-identity rule (lib/Utils.ts:85-92) — instead of the default
     value-only match.
+
+    ``union``: SPARQL UNION — a list of alternative groups, each itself
+    a BGP. Branches compile independently and concatenate with UNION
+    ALL (SPARQL's bag union; add ``distinct=True`` for set semantics);
+    variables exclusive to one branch are NULL in the others (SPARQL's
+    unbound). The union then joins the main ``patterns`` solution on
+    shared variables (``patterns`` may be ``[]`` when the whole group
+    is the union). Caveat mirroring the OPTIONAL deviation: a variable
+    that is NULL in some branch is dropped by a later null-rejecting
+    join on that variable.
+
+    ``values``: SPARQL VALUES inline data — ``(["?s", ...], [row,
+    ...])``. The rows become a broadcast table joined to the solution
+    on the VALUES variables (SPARQL's join with the inline-data
+    multiset): the plan stays one broadcast hash join, no new shuffle
+    class. UNDEF (None) is not supported — it would need a
+    compatible-mapping join, raise instead of silently mis-joining.
+
+    ``order_by``/``limit``: SELECT modifiers — ``order_by`` entries are
+    ``"?var"`` (ascending) or ``"-?var"`` (descending), applied with
+    ``limit`` as one TakeOrdered top-k (never a full sort when a limit
+    is given; plain ORDER BY without LIMIT is a real global sort, as in
+    SPARQL).
     """
-    out = _compile_bgp(triples, patterns, with_kinds, literal_cols)
+    if union:
+        branches = [
+            _compile_bgp(triples, g, with_kinds, literal_cols)
+            for g in union
+        ]
+        # align branch schemas: union of all columns, absent = NULL
+        # (typed from the branch that binds it — SPARQL's unbound)
+        allcols: list = []
+        coltype: dict = {}
+        for b in branches:
+            for c, t in zip(b.columns, [f.dataType.simpleString()
+                                        for f in b.schema.fields]):
+                if c not in coltype:
+                    allcols.append(c)
+                    coltype[c] = t
+        aligned = [
+            b.select(*[
+                F.col(c) if c in b.columns
+                else F.lit(None).cast(coltype[c]).alias(c)
+                for c in allcols
+            ])
+            for b in branches
+        ]
+        u = aligned[0]
+        for b in aligned[1:]:
+            u = u.unionByName(b)
+        if patterns:
+            out = _compile_bgp(triples, patterns, with_kinds, literal_cols)
+            out = _join_solutions(out, u)
+        else:
+            out = u
+    else:
+        out = _compile_bgp(triples, patterns, with_kinds, literal_cols)
     for group in optional or []:
         df = _compile_bgp(triples, group, with_kinds, literal_cols)
         common = [c for c in out.columns if c in df.columns]
@@ -501,11 +589,35 @@ def bgp_match(
                 f"OPTIONAL group shares no variable with the solution: {group!r}"
             )
         out = _join_solutions(out, df, how="left")
+    if values is not None:
+        vars_, rows = values
+        names = [v[1:] if _is_var(v) else v for v in vars_]
+        for r in rows:
+            if any(x is None for x in r):
+                raise ValueError(
+                    "VALUES UNDEF is not supported (needs a "
+                    "compatible-mapping join, not an equi-join)")
+        vdf = triples.sparkSession.createDataFrame(
+            [tuple(r) for r in rows],
+            ", ".join(f"{n} string" for n in names))
+        out = _join_solutions(out, F.broadcast(vdf))
     for expr in filters or []:
         out = out.filter(F.expr(expr))
     if select is not None:
         out = out.select(*[v[1:] if _is_var(v) else v for v in select])
-    return out.distinct() if distinct else out
+    if distinct:
+        out = out.distinct()
+    if order_by:
+        cols = []
+        for o in order_by:
+            desc = o.startswith("-")
+            name = o.lstrip("-")
+            name = name[1:] if _is_var(name) else name
+            cols.append(F.col(name).desc() if desc else F.col(name).asc())
+        out = out.orderBy(*cols)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
 
 
 # ----------------------------------------------------------------- CONSTRUCT

@@ -490,6 +490,8 @@ class _Run:
             # needs no clustering at all; persist() caches the tagged
             # quads inside the first consuming job (no extra barrier)
             # for the later waves / final emission / pickup passes.
+            # (A/B-measured: skipping the persist re-runs the caller's
+            # store lineage — often a shuffle — per pass; 1.6-2x slower)
             self.triples = t.persist()
             ex._persisted.append(self.triples)
         else:

@@ -21,7 +21,7 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from extract_cbd_shape_spark.model import IRI, LITERAL, Term
+from extract_cbd_shape_spark.model import BLANK, IRI, LITERAL, Term
 from extract_cbd_shape_spark.operators.closure import connected_components
 from extract_cbd_shape_spark.operators.extract import BulkCBDShapeExtractor, Member
 from extract_cbd_shape_spark.operators.linking import link_mentions
@@ -438,9 +438,24 @@ class KGConstructionPipeline:
                 der = parts[0]
                 for p in parts[1:]:
                     der = der.unionByName(p)
+                # Flattening to the kind-less 3-column layout must keep
+                # the value-space convention the BGP module documents
+                # ('_:' prefix = blank): template-introduced blanks
+                # carry bare labels + a kind column — re-prefix them
+                # here or they'd be indistinguishable from IRIs
+                # downstream (ADVICE r4).
+                def _flat(value_col: str, kind_col: str):
+                    return F.when(
+                        F.col(kind_col) == F.lit(int(BLANK)),
+                        F.concat(F.lit("_:"), F.col(value_col)),
+                    ).otherwise(F.col(value_col)).alias(value_col)
+
                 manifests["derived_triples"] = materialize_table(
-                    der.select("subject", "predicate", "object_value")
-                    .dropDuplicates(),
+                    der.select(
+                        _flat("subject", "subject_kind"),
+                        F.col("predicate"),
+                        _flat("object_value", "object_kind"),
+                    ).dropDuplicates(),
                     self._table("derived_triples"), "construct_enrich",
                 )
                 self.stage_seconds["enrich"] = round(time.time() - _t0, 3)

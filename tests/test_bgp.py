@@ -466,6 +466,99 @@ def test_zero_length_path_constant_endpoint_absent_from_graph(spark):
     assert bgp_match(t, [("a:1", parse_path("p*"), "b:1")]).count() == 1
 
 
+def test_zero_length_path_constant_through_nested_closures(spark):
+    """ADVICE r4: endpoint constants must propagate through Inverse/
+    Sequence/Alternative wrappers into nested closures, so the
+    reflexive zero-length solution survives nesting."""
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+    from extract_cbd_shape_spark.shapes.ast import (
+        InversePath, PredicatePath, ZeroOrMorePath)
+
+    t = spark.createDataFrame(
+        [("a:1", 0, "p", "b:1", 0), ("a:1", 0, "q", "c:1", 0)],
+        "subject string, subject_kind tinyint, predicate string, "
+        "object_value string, object_kind tinyint")
+    # inverse around a closure: ^(p*) from a ghost constant
+    inv_closure = InversePath(ZeroOrMorePath(PredicatePath("p")))
+    got = {r.o for r in bgp_match(
+        t, [("ghost:1", inv_closure, "?o")]).collect()}
+    assert got == {"ghost:1"}
+    # alternative of a closure and a plain predicate
+    got = {r.o for r in bgp_match(
+        t, [("ghost:1", parse_path("(p)*|q"), "?o")]).collect()}
+    assert got == {"ghost:1"}
+    # sequence whose LAST step is a closure, bound object constant
+    got = {r.s for r in bgp_match(
+        t, [("?s", parse_path("q/(p)*"), "c:1")]).collect()}
+    assert got == {"a:1"}  # q to c:1 then zero hops
+    # single-element "sequence" keeps both constants
+    got = bgp_match(t, [("ghost:1", parse_path("(p?)"), "ghost:1")]).count()
+    assert got == 1
+
+
+def test_union_of_groups(spark, triples):
+    """SPARQL UNION: bag union of branch solutions; branch-exclusive
+    variables are NULL (unbound) in the other branches."""
+    rows = bgp_match(triples, [], union=[
+        [("?m", "rdf:type", "kbo:Enterprise"),
+         ("?m", "kbo:legalName", "?name")],
+        [("?m", "rdf:type", "other:Thing"),
+         ("?m", "kbo:knows", "?k")],
+    ], select=["?m", "?name", "?k"]).collect()
+    got = {(r.m, r.name, r.k) for r in rows}
+    assert got == {
+        ("m:1", "Acme", None), ("m:2", "Globex", None),
+        ("m:3", None, "m:3"),
+    }
+    # UNION joined with a main pattern on the shared variable
+    got = {(r.m, r.pc) for r in bgp_match(triples, [
+        ("?m", "kbo:registeredAddress", "?a"),
+        ("?a", "kbo:postCode", "?pc"),
+    ], union=[
+        [("?m", "kbo:legalName", "Acme")],
+        [("?m", "kbo:legalName", "Globex")],
+    ]).collect()}
+    assert got == {("m:1", "1000"), ("m:2", "2000")}
+
+
+def test_union_bag_semantics_and_distinct(spark, triples):
+    # same solution from both branches -> two rows (bag), one with
+    # distinct=True (set)
+    branches = [[("?m", "rdf:type", "kbo:Enterprise")]] * 2
+    assert bgp_match(triples, [], union=branches).count() == 4
+    assert bgp_match(triples, [], union=branches, distinct=True).count() == 2
+
+
+def test_values_inline_data(spark, triples):
+    got = {(r.m, r.name) for r in bgp_match(triples, [
+        ("?m", "kbo:legalName", "?name"),
+    ], values=(["?m"], [("m:1",), ("m:3",)])).collect()}
+    assert got == {("m:1", "Acme"), ("m:3", "NotACompany")}
+    # multi-var VALUES rows must match as a whole row
+    got = {r.m for r in bgp_match(triples, [
+        ("?m", "kbo:legalName", "?name"),
+    ], values=(["?m", "?name"],
+               [("m:1", "Acme"), ("m:2", "WrongName")])).collect()}
+    assert got == {"m:1"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="UNDEF"):
+        bgp_match(triples, [("?m", "kbo:legalName", "?name")],
+                  values=(["?m"], [(None,)]))
+
+
+def test_order_by_limit_top_k(spark, triples):
+    rows = bgp_match(triples, [
+        ("?m", "kbo:legalName", "?name"),
+    ], select=["?m", "?name"], order_by=["-?name"], limit=2).collect()
+    assert [(r.m, r.name) for r in rows] == [
+        ("m:3", "NotACompany"), ("m:2", "Globex")]
+    # plan: ORDER BY + LIMIT compiles to TakeOrdered, not a global sort
+    df = bgp_match(triples, [("?m", "kbo:legalName", "?name")],
+                   order_by=["?name"], limit=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_random_bgp_parity_vs_bruteforce(spark):
     """Seeded-random BGPs (shared vars, constants, lang'd literals)
     against a brute-force Python evaluator — pins the solution-join

@@ -228,3 +228,42 @@ def test_cli_validate_reports_and_exit_code(spark, capsys, tmp_path):
                "--shape-iri", "http://example.org/VS",
                "--entity", "http://example.org/ok"])
     assert rc == 0
+
+
+def test_cli_query_quoted_literal_with_space(spark, capsys, tmp_path):
+    """ADVICE r4: quote-aware pattern lexing — a literal containing a
+    space is ONE term, and @lang / ^^datatype suffixes parse."""
+    f = tmp_path / "lit.ttl"
+    f.write_text(
+        "@prefix ex: <http://example.org/> .\n"
+        'ex:m1 ex:label "two words" .\n'
+        'ex:m2 ex:label "two" .\n'
+        'ex:m3 ex:label "chat"@en .\n'
+        'ex:m4 ex:label "chat"@fr .\n'
+        'ex:m5 ex:label "5"^^<http://www.w3.org/2001/XMLSchema#int> .\n'
+    )
+    rc = main([
+        "query", "--data", str(f),
+        "--pattern", '?m <http://example.org/label> "two words"',
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[1:] == ["http://example.org/m1"]
+
+    rc = main([
+        "query", "--data", str(f),
+        "--pattern", '?m <http://example.org/label> "chat"@en',
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[1:] == ["http://example.org/m3"]
+
+    rc = main([
+        "query", "--data", str(f),
+        "--pattern",
+        '?m <http://example.org/label> '
+        '"5"^^<http://www.w3.org/2001/XMLSchema#int>',
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[1:] == ["http://example.org/m5"]

@@ -269,15 +269,25 @@ def test_pipeline_construct_enrichment_stage(spark, tmp_path):
         "subject", "predicate", "object_value").collect()}
     assert all(p == "kg:writesIn" for _, p, _ in got)
 
-    # hand-derive the expected rule output from the entity graph
+    # hand-derive the expected rule output from the entity graph.
+    # Blank-node subjects (kg:author objects are page-scoped blanks)
+    # must carry the kind-less layout's '_:' prefix in the flattened
+    # derived table (ADVICE r4) — a bare label would be
+    # indistinguishable from an IRI downstream.
+    from extract_cbd_shape_spark.model import BLANK as _BLANK
+
     et = read_latest_snapshot(spark, os.path.join(wh, "entity_triples"))
     authors = et.filter(F.col("predicate") == "kg:author").select(
-        F.col("subject").alias("p"), F.col("object_value").alias("a"))
+        F.col("subject").alias("p"),
+        F.when(F.col("object_kind") == int(_BLANK),
+               F.concat(F.lit("_:"), F.col("object_value")))
+        .otherwise(F.col("object_value")).alias("a"))
     langs = et.filter(F.col("predicate") == "kg:lang").select(
         F.col("subject").alias("p"), F.col("object_value").alias("l"))
     want = {(r.a, "kg:writesIn", r.l)
             for r in authors.join(langs, "p").collect()}
     assert got == want
+    assert any(s.startswith("_:") for s, _, _ in got)
 
     # derived triples are in the final table
     final = read_latest_snapshot(spark, os.path.join(wh, "triples"))
