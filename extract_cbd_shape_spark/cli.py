@@ -150,6 +150,22 @@ def cmd_extract(args: argparse.Namespace) -> int:
 _PATH_CHARS = set("/|^+*?()")
 
 
+def cmd_shard(args: argparse.Namespace) -> int:
+    """Driver-side giant-.ttl shard helper (the documented recipe for
+    the format's not-splittable-below-document bound — see
+    sources/turtle.py module docstring): run once, then `read_turtle`
+    over the shard directory fans out file-per-task."""
+    from extract_cbd_shape_spark.sources.turtle import shard_turtle
+
+    shards = shard_turtle(args.data, args.out_dir,
+                          target_bytes=args.target_bytes)
+    print(f"# wrote {len(shards)} shards to {args.out_dir}",
+          file=sys.stderr)
+    for p in shards:
+        print(p)
+    return 0
+
+
 def _query_term(tok: str):
     """CLI pattern/template token -> BGP term. ``?x`` = variable,
     ``<iri>`` = IRI constant (angle brackets stripped), ``"text"`` =
@@ -343,6 +359,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     pm.add_argument("shapes", help="SHACL shapes TTL file")
     pm.add_argument("shape_iri", nargs="?", help="one shape IRI (default: all)")
     pm.set_defaults(fn=cmd_mermaid)
+
+    ps = sub.add_parser(
+        "shard",
+        help="split ONE giant .ttl into N document-valid shards "
+             "(statement boundaries, directives replicated, blank-label "
+             "sharers co-located) so read_turtle fans out file-per-task")
+    ps.add_argument("--data", required=True, help="giant .ttl/.trig file")
+    ps.add_argument("--out-dir", required=True, help="shard directory")
+    ps.add_argument("--target-bytes", type=int, default=64 * 1024 * 1024,
+                    help="approximate shard size (default 64 MiB)")
+    ps.set_defaults(fn=cmd_shard)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -133,3 +133,233 @@ def read_turtle(
     return parse_turtle_documents(
         files, base=base, blank_scope=blank_scope, on_malformed=on_malformed
     )
+
+
+# ------------------------------------------------------- giant-file sharding
+
+
+def iter_turtle_statements(chunks):
+    """Scan a Turtle/TriG character stream into top-level statements.
+
+    Yields ``(statement_text, is_directive, blank_labels)`` where
+    ``blank_labels`` is the set of NAMED blank labels (``_:x``) the
+    statement references (anonymous ``[]`` blanks are statement-local
+    and need no tracking; labels containing dots are truncated at the
+    first dot — conservative for co-location, never unsafe). A
+    statement ends at a ``.`` at bracket depth 0, outside strings/
+    IRIs/comments, followed by whitespace, a comment, or EOF (PN_LOCAL
+    dots and decimal literals never match that). Dotless SPARQL-style
+    ``PREFIX``/``BASE`` directives end at their closing ``>``.
+
+    Pure driver-side scanner over chunked reads — O(1) state, so a
+    100 GB file streams without loading into memory.
+    """
+    buf: list = []
+    labels: set = set()
+    in_comment = False
+    quote = None          # "'", '"', or a 3-char run
+    in_iri = False
+    escaped = False
+    depth = 0
+    label_cur: list = []  # collecting a _:label token (after the ':')
+    head: list = []       # first token of the statement (directives)
+    head_done = False
+    dotless = False       # inside a dotless PREFIX/BASE directive
+    prev2 = prev1 = ""
+
+    stream = (c for chunk in chunks for c in chunk)
+    lookahead: list = []
+
+    def nxt():
+        if lookahead:
+            return lookahead.pop()
+        return next(stream, None)
+
+    def flush(is_directive: bool):
+        nonlocal buf, labels, head, head_done, dotless, prev1, prev2
+        text = "".join(buf).strip()
+        out_labels = labels
+        buf, labels = [], set()
+        head, head_done, dotless = [], False, False
+        prev1 = prev2 = ""
+        if text:
+            yield (text, is_directive, out_labels)
+
+    def label_char(c: str) -> bool:
+        return c.isalnum() or c in "_-"
+
+    while True:
+        c = nxt()
+        if c is None:
+            break
+        buf.append(c)
+        if label_cur:
+            if label_char(c):
+                label_cur.append(c)
+                prev2, prev1 = prev1, c
+                continue
+            labels.add("".join(label_cur))
+            label_cur = []
+            # c falls through to normal handling
+        if in_comment:
+            if c == "\n":
+                in_comment = False
+            prev2, prev1 = prev1, c
+            continue
+        if quote is not None:
+            if escaped:
+                escaped = False
+            elif c == "\\":
+                escaped = True
+            elif len(quote) == 1 and c == quote:
+                quote = None
+            elif (len(quote) == 3 and c == quote[0]
+                  and prev1 == quote[0] and prev2 == quote[0]):
+                quote = None
+            prev2, prev1 = prev1, c
+            continue
+        if in_iri:
+            if c == ">":
+                in_iri = False
+                if dotless:
+                    yield from flush(True)
+                    continue
+            prev2, prev1 = prev1, c
+            continue
+        # --- outside strings/IRIs/comments ---
+        if not head_done:
+            if c.isspace() or c == "<":
+                if head:
+                    head_done = True
+                    if "".join(head).lower() in ("prefix", "base"):
+                        dotless = True
+            elif len(head) < 8:
+                head.append(c)
+        if c == "#":
+            in_comment = True
+        elif c in "\"'":
+            peek1 = nxt()
+            if peek1 == c:
+                peek2 = nxt()
+                if peek2 == c:
+                    buf.append(peek1)
+                    buf.append(peek2)
+                    quote = c * 3
+                    prev2 = prev1 = ""
+                    continue
+                if peek2 is not None:
+                    lookahead.append(peek2)
+                # empty short string: "" — opening+closing pair
+                buf.append(peek1)
+                prev2, prev1 = c, peek1
+                continue
+            if peek1 is not None:
+                lookahead.append(peek1)
+            quote = c
+        elif c == "<":
+            in_iri = True
+        elif c in "[(":
+            depth += 1
+        elif c in "])":
+            depth -= 1
+        elif c == "_" and (prev1 == "" or not (label_char(prev1)
+                                               or prev1 == ":")):
+            peek = nxt()
+            if peek == ":":
+                buf.append(peek)
+                nxt2 = nxt()
+                if nxt2 is not None and label_char(nxt2):
+                    buf.append(nxt2)
+                    label_cur = [nxt2]
+                elif nxt2 is not None:
+                    lookahead.append(nxt2)
+                prev2, prev1 = ":", ":"
+                continue
+            if peek is not None:
+                lookahead.append(peek)
+        elif c == "." and depth == 0:
+            peek = nxt()
+            terminator = peek is None or peek.isspace() or peek == "#"
+            if peek is not None:
+                lookahead.append(peek)
+            if terminator:
+                h = "".join(head).lower()
+                yield from flush(h in ("@prefix", "@base"))
+                continue
+        prev2, prev1 = prev1, c
+    tail = "".join(buf).strip()
+    if tail:
+        raise ValueError(
+            f"unterminated trailing statement in Turtle stream: {tail[:80]!r}")
+
+
+def shard_turtle(src_path: str, out_dir: str,
+                 target_bytes: int = 64 * 1024 * 1024,
+                 prefix: str = "part-") -> list:
+    """Split ONE giant .ttl/.trig file into N document-valid shards on
+    statement boundaries — the documented upstream recipe for the
+    format's not-splittable-below-document bound (module docstring;
+    the reference's streaming parser has the same serial bound).
+    Driver-side, one pass, O(1) state; run once, then `read_turtle`
+    fans the shards out file-per-task.
+
+    Every directive (``@prefix``/``@base``/``PREFIX``/``BASE``) seen so
+    far is replicated into each subsequent shard (they are
+    document-scoped in Turtle). NAMED blank labels are document-scoped
+    too, so statements sharing a label must stay co-located: a shard
+    stays open while the next statement reuses one of its labels, and
+    a label that resurfaces after its shard closed raises (convert to
+    N-Quads/parquet for such label topologies — sharding cannot
+    preserve their identity).
+
+    Returns the list of shard file paths written.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    directives: list = []
+    cur: list = []
+    cur_labels: set = set()
+    cur_size = 0
+    closed_labels: set = set()
+    shards: list = []
+
+    def close():
+        nonlocal cur, cur_labels, cur_size
+        if not cur:
+            return
+        p = os.path.join(out_dir, f"{prefix}{len(shards):05d}.ttl")
+        with open(p, "w", encoding="utf-8") as f:
+            for d in directives:
+                f.write(d + "\n")
+            for s in cur:
+                f.write(s + "\n")
+        shards.append(p)
+        closed_labels.update(cur_labels)
+        cur, cur_labels, cur_size = [], set(), 0
+
+    def chunks():
+        with open(src_path, "r", encoding="utf-8") as f:
+            while True:
+                c = f.read(1 << 20)
+                if not c:
+                    return
+                yield c
+
+    for text, is_directive, labels in iter_turtle_statements(chunks()):
+        if is_directive:
+            directives.append(text)
+            continue
+        reused = labels & closed_labels
+        if reused:
+            raise ValueError(
+                "blank label(s) reused across a shard boundary: "
+                f"{sorted(reused)[:5]} — this document's label topology "
+                "cannot be sharded; convert to N-Quads or parquet instead")
+        if cur_size >= target_bytes and not (labels & cur_labels):
+            close()
+        cur.append(text)
+        cur_labels |= labels
+        cur_size += len(text) + 1
+    close()
+    return shards
