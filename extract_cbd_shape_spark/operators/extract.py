@@ -414,6 +414,8 @@ class _Run:
         # Row count of the current round's work set (seeds for round
         # 1); bounds every frontier/focus build side derived from it.
         self._round_count: Optional[int] = n_members
+        # Broadcast exchanges issued so far (see _LATENCY_BCAST_BUDGET).
+        self._bcasts = 0
         # Driver-known seed shape keys (None = unknown, collect once).
         self.initial_shape_keys = initial_shape_keys
         # graphs ignored for EVERY member (DataFrame-members path, where
@@ -559,17 +561,29 @@ class _Run:
             )
         return df
 
+    # Broadcasts per run are CAPPED: every live broadcast exchange pins
+    # a multi-MB JVM hash-relation page until the final action releases
+    # the plans that reference it, so a deep recursion (hundreds of
+    # rounds on a small store — e.g. a shapes graph extracting itself)
+    # issuing one broadcast per wave would exhaust the driver heap on
+    # tiny data. The early rounds carry virtually all the data volume;
+    # once the budget is spent the run degrades to shuffle-hash joins
+    # (small frontiers by then — the shuffle is tiny).
+    _LATENCY_BCAST_BUDGET = 24
+
     def _seed(self, df: DataFrame, cnt: Optional[int]) -> DataFrame:
         """Physical hint for a frontier/member build side. Latency mode
-        with a driver-known count within the knob: explicit broadcast
-        (the probe/store side then streams map-side with no exchange).
-        Otherwise shuffle-hash: build the small side's hash table,
-        stream the subject-partitioned store — never sort it."""
+        with a driver-known count within the knob (and broadcast budget
+        left): explicit broadcast — the probe/store side then streams
+        map-side with no exchange. Otherwise shuffle-hash: build the
+        small side's hash table, stream the store — never sort it."""
         if (
             self.latency
             and cnt is not None
             and cnt <= self.ex.broadcast_members_max
+            and self._bcasts < self._LATENCY_BCAST_BUDGET
         ):
+            self._bcasts += 1
             return F.broadcast(df)
         return df.hint("shuffle_hash")
 
@@ -603,15 +617,12 @@ class _Run:
         return out
 
     def _visited_build(self, df: DataFrame) -> DataFrame:
-        """Build side of a visited anti/semi-join: broadcast when the
-        tracked row bound fits the latency knob (turns each per-round
-        memo probe into a map-side scan), else plain (shuffle both)."""
-        if (
-            self.latency
-            and self._visited_cbd_n is not None
-            and self._visited_cbd_n <= self.ex.broadcast_members_max
-        ):
-            return F.broadcast(df)
+        """Build side of a visited anti/semi-join. Deliberately NOT
+        broadcast: both sides are bookkeeping-sized, the ABAB-measured
+        win over a small shuffle join was nil, and the visited set is
+        rebuilt per wave — per-wave broadcasts of a growing set pinned
+        O(waves) hash-relation pages in the driver until the final
+        action (OOM on deep recursions; see _LATENCY_BCAST_BUDGET)."""
         return df
 
     def _visited_cbd_add(self, part: DataFrame,
@@ -1101,23 +1112,12 @@ class _Run:
                 "member_id", "node", "node_kind"
             )
         ]
-        # row bound for the shape-visited memo (latency mode): seeds +
-        # each round's claimed work — broadcasts the memo anti-join.
-        visited_shape_n = [self.n_members] if self.latency else [None]
-
         def _visited_shape() -> DataFrame:
+            # small x small anti-join build side — never broadcast (the
+            # memo is rebuilt per round; see _visited_build's rationale)
             out = visited_parts[0]
             for p in visited_parts[1:]:
                 out = out.unionByName(p)
-            n = (
-                sum(visited_shape_n)
-                if all(x is not None for x in visited_shape_n) else None
-            )
-            if (
-                self.latency and n is not None
-                and n <= self.ex.broadcast_members_max
-            ):
-                return F.broadcast(out)
             return out
 
         rounds = 0
@@ -1208,7 +1208,6 @@ class _Run:
                 # next round's count (cheap: work just materialized);
                 # doubles as the loop's emptiness probe.
                 self._round_count = work.count()
-                visited_shape_n.append(self._round_count)
             # The claimed rows are inside work's checkpoint — the next
             # round's visited anti-join reads them from there for free.
             visited_parts.append(
@@ -1329,7 +1328,10 @@ class _Run:
                 F.col("node_kind").alias("subject_kind"),
             )
             anti_keys = ["member_id", "subject", "subject_kind"]
-            visited = self._visited_build(visited)
+            # ONE end-of-run anti-join: a single budget-counted
+            # broadcast here is safe (released right after the final
+            # action), unlike the per-wave visited probes (_visited_build)
+            visited = self._seed(visited, self._visited_cbd_n)
             if self.ex.cbd_default_graph:
                 wit = (
                     wit.filter(F.col("graph").isNull())

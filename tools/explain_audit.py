@@ -90,9 +90,11 @@ def main() -> int:
         print("FAIL text_metrics: scan not pruned")
         print(plan[:2000])
 
-    # Engine star-join: broadcast of the (small) member seed set is NOT
-    # forced — frontier joins hash-partition on subject; no Python UDF
-    # anywhere in the quad path.
+    # Engine star-join: at this (small, driver-counted) seed scale the
+    # engine's LATENCY regime broadcasts the counted frontier sides;
+    # above broadcast_members_max it hash-partitions on subject (scale
+    # mode, pinned by the knob=0 plan test). Either way: no Python UDF
+    # anywhere in the quad path, results checkpoint-backed.
     from extract_cbd_shape_spark.operators.kgtriples import kbo_members
     from extract_cbd_shape_spark.operators import BulkCBDShapeExtractor
     from extract_cbd_shape_spark.model import Term, IRI
