@@ -32,6 +32,7 @@ value equality is term equality; pass ``with_kinds=True`` to join on
 
 from __future__ import annotations
 
+import re
 from typing import Optional, Sequence, Tuple
 
 from pyspark.sql import DataFrame
@@ -447,6 +448,49 @@ def _join_solutions(left: DataFrame, right: DataFrame,
     )
 
 
+_AGG_RE = re.compile(
+    r"^\s*(count|sum|avg|min|max|group_concat|sample)\s*\(\s*"
+    r"(distinct\s+)?(\*|\?\w+)\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _compile_aggregate(name: str, spec: str):
+    """One SPARQL aggregate expression -> a Spark aggregate Column
+    (see bgp_match docstring for the exact semantics of each)."""
+    m = _AGG_RE.match(spec)
+    if not m:
+        raise ValueError(f"unsupported aggregate expression: {spec!r}")
+    fn, distinct, arg = m.group(1).lower(), bool(m.group(2)), m.group(3)
+    if arg == "*":
+        if fn != "count":
+            raise ValueError(f"only count(*) takes '*': {spec!r}")
+        if distinct:
+            raise ValueError("count(distinct *) is not supported")
+        return F.count(F.lit(1)).alias(name)
+    col = F.col(arg[1:])
+    if distinct and fn != "count":
+        raise ValueError(f"DISTINCT only supported with count: {spec!r}")
+    if fn == "count":
+        return (F.countDistinct(col) if distinct
+                else F.count(col)).alias(name)
+    if fn == "sum":
+        return F.sum(col.cast("double")).alias(name)
+    if fn == "avg":
+        return F.avg(col.cast("double")).alias(name)
+    if fn == "min":
+        return F.min(col).alias(name)
+    if fn == "max":
+        return F.max(col).alias(name)
+    if fn == "group_concat":
+        # sorted for determinism (SPARQL leaves element order open)
+        return F.array_join(
+            F.array_sort(F.collect_list(col)), " ").alias(name)
+    # sample: SPARQL allows ANY element — the minimum is a legal,
+    # deterministic choice (oracle-mirrorable)
+    return F.min(col).alias(name)
+
+
 def _compile_bgp(triples: DataFrame, patterns, with_kinds: bool,
                  literal_cols: bool = False) -> DataFrame:
     if not patterns:
@@ -469,6 +513,9 @@ def bgp_match(
     literal_cols: bool = False,
     union: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
     values: Optional[Tuple[Sequence[str], Sequence[Sequence]]] = None,
+    group_by: Optional[Sequence[str]] = None,
+    aggregates: Optional[dict] = None,
+    having: Optional[Sequence[str]] = None,
     order_by: Optional[Sequence[str]] = None,
     limit: Optional[int] = None,
 ) -> DataFrame:
@@ -542,11 +589,27 @@ def bgp_match(
     class. UNDEF (None) is not supported — it would need a
     compatible-mapping join, raise instead of silently mis-joining.
 
+    ``group_by``/``aggregates``/``having``: SPARQL aggregation.
+    ``group_by`` lists grouping variables (``"?var"``); ``aggregates``
+    maps output names to SPARQL aggregate expressions —
+    ``count(*)``, ``count(?x)``, ``count(distinct ?x)``, ``sum(?x)``,
+    ``avg(?x)``, ``min(?x)``, ``max(?x)``, ``group_concat(?x)``
+    (space separator, sorted for determinism), ``sample(?x)``
+    (deterministic minimum — SAMPLE allows any element). ``sum``/
+    ``avg`` cast the lexical value to double (xsd numeric forms);
+    ``min``/``max`` compare lexically, as the engine's value space
+    does. ``aggregates`` without ``group_by`` is SPARQL's implicit
+    single group; ``group_by`` without ``aggregates`` yields the
+    distinct groups. ``having`` entries are Spark SQL booleans over
+    the aggregate output names (SPARQL HAVING). All compile to one
+    partial+final hash aggregate — map-side combine, one shuffle on
+    the grouping key.
+
     ``order_by``/``limit``: SELECT modifiers — ``order_by`` entries are
-    ``"?var"`` (ascending) or ``"-?var"`` (descending), applied with
-    ``limit`` as one TakeOrdered top-k (never a full sort when a limit
-    is given; plain ORDER BY without LIMIT is a real global sort, as in
-    SPARQL).
+    ``"?var"`` (ascending) or ``"-?var"`` (descending; also bare
+    aggregate output names), applied with ``limit`` as one TakeOrdered
+    top-k (never a full sort when a limit is given; plain ORDER BY
+    without LIMIT is a real global sort, as in SPARQL).
     """
     if union:
         branches = [
@@ -603,6 +666,20 @@ def bgp_match(
         out = _join_solutions(out, F.broadcast(vdf))
     for expr in filters or []:
         out = out.filter(F.expr(expr))
+    if group_by is not None or aggregates is not None:
+        keys = [v[1:] if _is_var(v) else v for v in (group_by or [])]
+        aggs = [_compile_aggregate(name, spec)
+                for name, spec in (aggregates or {}).items()]
+        if keys and not aggs:
+            out = out.select(*keys).distinct()
+        elif keys:
+            out = out.groupBy(*keys).agg(*aggs)
+        else:
+            out = out.agg(*aggs)  # SPARQL's implicit single group
+        for expr in having or []:
+            out = out.filter(F.expr(expr))
+    elif having:
+        raise ValueError("having requires group_by/aggregates")
     if select is not None:
         out = out.select(*[v[1:] if _is_var(v) else v for v in select])
     if distinct:

@@ -546,6 +546,56 @@ def test_values_inline_data(spark, triples):
                   values=(["?m"], [(None,)]))
 
 
+def test_group_by_aggregates(spark, triples):
+    """SPARQL aggregation: GROUP BY + COUNT/MIN/GROUP_CONCAT compile to
+    one hash aggregate; implicit single group without GROUP BY."""
+    rows = {(r.m, r.n, r.first_pc) for r in bgp_match(triples, [
+        ("?m", "kbo:registeredAddress", "?a"),
+        ("?a", "kbo:postCode", "?pc"),
+    ], group_by=["?m"], aggregates={
+        "n": "count(?pc)", "first_pc": "min(?pc)",
+    }).collect()}
+    assert rows == {("m:1", 1, "1000"), ("m:2", 1, "2000")}
+
+    # implicit group: one row, aggregates over every solution
+    row = bgp_match(triples, [
+        ("?m", "kbo:legalName", "?name"),
+    ], aggregates={
+        "n": "count(*)",
+        "names": "group_concat(?name)",
+        "one": "sample(?name)",
+    }).collect()
+    assert len(row) == 1
+    assert row[0].n == 3
+    assert row[0].names == "Acme Globex NotACompany"
+    assert row[0].one == "Acme"
+
+    # numeric aggregates cast the lexical form
+    row = bgp_match(triples, [
+        ("?a", "kbo:postCode", "?pc"),
+    ], aggregates={"total": "sum(?pc)", "mean": "avg(?pc)"}).collect()[0]
+    assert row.total == 3000.0 and row.mean == 1500.0
+
+
+def test_group_by_having_and_distinct_count(spark, triples):
+    got = {r.t for r in bgp_match(triples, [
+        ("?m", "rdf:type", "?t"),
+    ], group_by=["?t"], aggregates={"n": "count(distinct ?m)"},
+        having=["n >= 2"]).collect()}
+    assert got == {"kbo:Enterprise"}
+    # group_by alone = distinct groups
+    got = {r.t for r in bgp_match(triples, [
+        ("?m", "rdf:type", "?t"),
+    ], group_by=["?t"]).collect()}
+    assert got == {"kbo:Enterprise", "other:Thing"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported aggregate"):
+        bgp_match(triples, [("?m", "rdf:type", "?t")],
+                  group_by=["?t"], aggregates={"n": "median(?m)"})
+    with _pytest.raises(ValueError, match="having requires"):
+        bgp_match(triples, [("?m", "rdf:type", "?t")], having=["1=1"])
+
+
 def test_order_by_limit_top_k(spark, triples):
     rows = bgp_match(triples, [
         ("?m", "kbo:legalName", "?name"),
