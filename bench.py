@@ -220,6 +220,13 @@ def _child_pipeline() -> dict:
 
 GATE_THRESHOLD = float(os.environ.get("BENCH_COMPARE_THRESHOLD", "1.25"))
 GATE_MAX_REPS = int(os.environ.get("SPARK_GRAFT_GATE_REPS", "3"))
+# Absolute jitter floor: a forked fresh-JVM measurement on this host
+# carries ~0.3s of scheduling/JIT jitter regardless of query cost, so
+# a ratio breach whose absolute delta is below this is not evidence of
+# a code regression (sub-second queries would otherwise gate-fail on
+# noise the 1.25x ratio can't absorb — the reference CI compares
+# microsecond benchmarks only through large-N benchmark.js sampling).
+GATE_MIN_DELTA_SEC = float(os.environ.get("BENCH_GATE_MIN_DELTA", "0.5"))
 
 
 def _load_reference() -> dict:
@@ -239,12 +246,17 @@ def _gate_and_retry(timings: dict, counts: dict, reps: dict) -> dict:
     bench artifact."""
     ref = _load_reference()
     verdicts: dict[str, str] = {}
+
+    def _breach(cur: float, base: float) -> bool:
+        return (cur / base > GATE_THRESHOLD
+                and cur - base >= GATE_MIN_DELTA_SEC)
+
     for name in sorted(set(timings) & set(ref)):
         base = ref[name]
         if not isinstance(base, (int, float)) or base <= 0:
             continue
         while (
-            timings[name] / base > GATE_THRESHOLD
+            _breach(timings[name], base)
             and reps.get(name, 1) < GATE_MAX_REPS
         ):
             print(f"[bench] {name}: {timings[name]}s exceeds "
@@ -260,7 +272,7 @@ def _gate_and_retry(timings: dict, counts: dict, reps: dict) -> dict:
                 counts[name] = res["rows"]
         ratio = timings[name] / base
         verdicts[name] = (
-            "SLOWER" if ratio > GATE_THRESHOLD
+            "SLOWER" if _breach(timings[name], base)
             else ("faster" if ratio < 1 / GATE_THRESHOLD else "ok")
         )
     failures = sorted(k for k, v in verdicts.items() if v == "SLOWER")

@@ -61,16 +61,20 @@ def main() -> int:
     )
     ref = _queries(ref_path)
     threshold = float(os.environ.get("BENCH_COMPARE_THRESHOLD", "1.25"))
+    # same absolute jitter floor as bench.py's embedded gate: a ratio
+    # breach under this delta on a forked fresh-JVM measurement is
+    # scheduling/JIT noise, not code (sub-second queries especially)
+    min_delta = float(os.environ.get("BENCH_GATE_MIN_DELTA", "0.5"))
     failures = []
     for name in sorted(set(cur) & set(ref)):
         c, r = cur[name], ref[name]
         if not isinstance(c, (int, float)) or not isinstance(r, (int, float)):
             continue
         ratio = c / max(r, 1e-9)
-        flag = "SLOWER" if ratio > threshold else (
-            "faster" if ratio < 1 / threshold else "ok")
+        flag = ("SLOWER" if ratio > threshold and c - r >= min_delta
+                else ("faster" if ratio < 1 / threshold else "ok"))
         print(f"{name:32s} ref={r:8.2f}s cur={c:8.2f}s  x{ratio:.2f}  {flag}")
-        if ratio > threshold:
+        if flag == "SLOWER":
             failures.append(name)
     missing = sorted(set(ref) - set(cur))
     for name in missing:
