@@ -1148,6 +1148,41 @@ class _Run:
                 ]
             new_work_parts: List[DataFrame] = []
             next_candidates: set = set()
+            shapes_by_key = {sk: self._resolve_shape(sk)
+                             for sk in shape_keys}
+            # ONE batched CBD pass per ROUND for every non-closed shape:
+            # CBD is shape-independent, and the claim aggregate made the
+            # round's work rows disjoint on (member, node) across keys,
+            # so the merged wave loop visits exactly the union the
+            # per-key calls visited — but pays the per-wave fixed costs
+            # (anti-join probe, wave jobs, emptiness checks) ONCE
+            # instead of once per shape key. Each key's path stages
+            # then slice the shared wave-0 star by its shape_key column
+            # (carried through _cbd's ``extra`` columns).
+            cbd_keys = [sk for sk in shape_keys
+                        if shapes_by_key[sk] is None
+                        or not shapes_by_key[sk].closed]
+            star0_all = None
+            if cbd_keys:
+                if len(cbd_keys) == len(shape_keys):
+                    cbd_work = work
+                else:
+                    cond = None
+                    for sk in cbd_keys:
+                        t = F.col("shape_key").eqNullSafe(
+                            F.lit(sk).cast("string"))
+                        cond = t if cond is None else (cond | t)
+                    cbd_work = work.filter(cond)
+                all_link_preds = set()
+                for sk in cbd_keys:
+                    sh = shapes_by_key[sk]
+                    if sh is not None:
+                        for nl in sh.all_node_links():
+                            if isinstance(nl.path_pattern, PredicatePath):
+                                all_link_preds.add(
+                                    nl.path_pattern.predicate)
+                star0_all = self._cbd(
+                    cbd_work, target_preds=frozenset(all_link_preds))
             for sk in shape_keys:
                 # work is checkpointed each round; the filter is cheap to
                 # recompute, no extra materialization needed.
@@ -1157,12 +1192,22 @@ class _Run:
                     sub = work.filter(
                         F.col("shape_key").eqNullSafe(F.lit(sk).cast("string"))
                     )
-                shape = self._resolve_shape(sk)
+                shape = shapes_by_key[sk]
                 if shape is not None:
                     for nl in shape.all_node_links():
                         next_candidates.add(_shape_key(nl.link))
+                if sk in cbd_keys and star0_all is not None:
+                    star0_sub = (
+                        star0_all if len(shape_keys) == 1
+                        else star0_all.filter(
+                            F.col("shape_key").eqNullSafe(
+                                F.lit(sk).cast("string")))
+                    )
+                else:
+                    star0_sub = None
                 new_work_parts.extend(self._process_shape(
-                    sub, shape, sk, first_round=(rounds == 1)))
+                    sub, shape, sk, first_round=(rounds == 1),
+                    star0=star0_sub, cbd_done=True))
             candidates = next_candidates
             self._checkpoint_trie()
             if not new_work_parts:
@@ -1420,6 +1465,7 @@ class _Run:
     def _process_shape(
         self, work: DataFrame, shape: Optional[ShapeTemplate],
         shape_key: Optional[str], first_round: bool = False,
+        star0: Optional[DataFrame] = None, cbd_done: bool = False,
     ) -> List[DataFrame]:
         """One extractRecursively pass for all members at this shape
         (lib/CBDShapeExtractor.ts:374-462). Returns new-work parts."""
@@ -1441,8 +1487,9 @@ class _Run:
             }
             if shape is not None else set()
         )
-        star0: Optional[DataFrame] = None
-        if shape is None or not shape.closed:
+        if (not cbd_done) and (shape is None or not shape.closed):
+            # standalone use (execute passes cbd_done=True with the
+            # round-batched star0 — see the round loop)
             star0 = self._cbd(work, target_preds=frozenset(link_preds))
         if shape is None:
             return []
