@@ -255,9 +255,19 @@ def cmd_query(args: argparse.Namespace) -> int:
         lines = [r.line for r in to_nquads(g).orderBy("line").collect()]
         sys.stdout.write("\n".join(lines) + ("\n" if lines else ""))
         return 0
+    aggregates = None
+    if args.agg:
+        aggregates = {}
+        for spec in args.agg:
+            name, _, expr = spec.partition("=")
+            if not expr:
+                sys.exit(f"--agg must be name=expr: {spec!r}")
+            aggregates[name] = expr
     out = bgp_match(
         data, patterns, select=args.select or None,
         filters=args.filter or None, distinct=args.distinct,
+        group_by=args.group_by or None, aggregates=aggregates,
+        having=args.having or None,
     )
     cols = out.columns
     rows = sorted(tuple("" if v is None else str(v) for v in r)
@@ -339,6 +349,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="CONSTRUCT template triple (repeatable); "
                          "output becomes N-Quads instead of a table")
     pq.add_argument("--distinct", action="store_true")
+    pq.add_argument("--group-by", nargs="+", metavar="?var",
+                    help="SPARQL GROUP BY variables")
+    pq.add_argument("--agg", action="append", metavar="name=expr",
+                    help="aggregate output, e.g. n='count(*)' or "
+                         "total='sum(?x)' (repeatable)")
+    pq.add_argument("--having", action="append", metavar="SQL",
+                    help="HAVING as a Spark SQL boolean over aggregate "
+                         "output names")
     pq.add_argument("--cpus", type=int, default=4)
     pq.set_defaults(fn=cmd_query)
 

@@ -61,6 +61,28 @@ def _is_var(term) -> bool:
 # ------------------------------------------------------------ property paths
 
 
+class NegatedPropertySet(Path):
+    """SPARQL negated property set ``!(p1|…|^q1|…)`` — one hop whose
+    predicate is NOT in the set; forward and inverse members negate
+    independently (union of the two parts, SPARQL 18.4). Query-side
+    only: SHACL has no NPS, so the extraction engine never compiles
+    one (its match/found hooks raise)."""
+
+    def __init__(self, forward, inverse):
+        self.forward = tuple(forward)
+        self.inverse = tuple(inverse)
+
+    def to_string(self) -> str:
+        items = list(self.forward) + [f"^{p}" for p in self.inverse]
+        return f"!({'|'.join(items)})"
+
+    __repr__ = to_string
+
+    def found(self, *a, **kw):  # pragma: no cover - query-side only
+        raise NotImplementedError(
+            "negated property sets are query-side only (no SHACL NPS)")
+
+
 def parse_path(expr: str) -> Path:
     """Parse a compact SPARQL-property-path expression into the shared
     Path AST (shapes/ast.py — the SAME classes the extraction engine
@@ -70,12 +92,15 @@ def parse_path(expr: str) -> Path:
         alt  := seq ('|' seq)*
         seq  := step ('/' step)*
         step := '^' step | prim ('+'|'*'|'?')*
-        prim := '(' alt ')' | PREDICATE
+        prim := '(' alt ')' | '!' nps | PREDICATE
+        nps  := PREDICATE | '^' PREDICATE
+              | '(' [('^'? PREDICATE) ('|' '^'? PREDICATE)*] ')'
 
-    PREDICATE is any run of characters outside ``/|^+*?()`` and
+    PREDICATE is any run of characters outside ``/|^+*?()!`` and
     whitespace — fine for prefixed names (``kbo:activity``) — or an
     angle-bracketed IRI (``<http://…/p>``): brackets protect the inner
-    text (including ``/``) and are stripped from the token."""
+    text (including ``/``) and are stripped from the token. ``!``
+    builds a `NegatedPropertySet` (query-side only)."""
     tokens = []
     buf = []
     i = 0
@@ -91,7 +116,7 @@ def parse_path(expr: str) -> Path:
             tokens.append(expr[i + 1:j])
             i = j + 1
             continue
-        if ch in "/|^+*?()":
+        if ch in "/|^+*?()!":
             if buf:
                 tokens.append("".join(buf))
                 buf = []
@@ -141,6 +166,35 @@ def parse_path(expr: str) -> Path:
                  "?": ZeroOrOnePath}[mod](p)
         return p
 
+    def nps_item():
+        inv = False
+        if peek() == "^":
+            take()
+            inv = True
+        t = peek()
+        if t is None or t in "/|^+*?()!":
+            raise ValueError(f"malformed negated property set in {expr!r}")
+        return inv, take()
+
+    def nps() -> Path:
+        fwd, rev = [], []
+        if peek() == "(":
+            take()
+            if peek() != ")":
+                while True:
+                    inv, p = nps_item()
+                    (rev if inv else fwd).append(p)
+                    if peek() != "|":
+                        break
+                    take()
+            if peek() != ")":
+                raise ValueError(f"unbalanced '(' in path {expr!r}")
+            take()
+        else:
+            inv, p = nps_item()
+            (rev if inv else fwd).append(p)
+        return NegatedPropertySet(fwd, rev)
+
     def prim() -> Path:
         t = peek()
         if t == "(":
@@ -150,7 +204,10 @@ def parse_path(expr: str) -> Path:
                 raise ValueError(f"unbalanced '(' in path {expr!r}")
             take()
             return p
-        if t is None or t in "/|^+*?()":
+        if t == "!":
+            take()
+            return nps()
+        if t is None or t in "/|^+*?()!":
             raise ValueError(f"malformed path expression {expr!r}")
         return PredicatePath(take())
 
@@ -197,6 +254,34 @@ def _path_pairs(triples: DataFrame, path: Path,
             F.col("subject").alias("_src"),
             F.col("object_value").alias("_dst"),
         )
+    if isinstance(path, NegatedPropertySet):
+        # SPARQL 18.4: forward members negate forward edges, inverse
+        # members negate reversed edges; a mixed set is the union of
+        # the two parts. A set with only inverse members has NO
+        # forward part; an empty set (grammar-legal "!()") matches any
+        # forward edge. NOT-IN is a pushed-down scan filter — one
+        # corpus pass per present part, no joins.
+        parts = []
+        if path.forward or not path.inverse:
+            fwd = triples
+            if path.forward:
+                fwd = fwd.filter(
+                    ~F.col("predicate").isin(list(path.forward)))
+            parts.append(fwd.select(
+                F.col("subject").alias("_src"),
+                F.col("object_value").alias("_dst"),
+            ))
+        if path.inverse:
+            rev = triples.filter(
+                ~F.col("predicate").isin(list(path.inverse)))
+            parts.append(rev.select(
+                F.col("object_value").alias("_src"),
+                F.col("subject").alias("_dst"),
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     if isinstance(path, InversePath):
         # endpoint constants swap through an inverse (ADVICE r4): the
         # inner path's source is the outer destination — a nested

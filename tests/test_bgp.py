@@ -496,6 +496,49 @@ def test_zero_length_path_constant_through_nested_closures(spark):
     assert got == 1
 
 
+def test_negated_property_set(spark, triples):
+    """SPARQL NPS: !p = any one forward hop whose predicate is not p;
+    inverse members negate reversed edges; mixed sets union both."""
+    from extract_cbd_shape_spark.operators.bgp import bgp_match, parse_path
+
+    # everything m:1 links to by a predicate other than rdf:type
+    got = {(r.o) for r in bgp_match(
+        triples, [("m:1", parse_path("!<rdf:type>"), "?o")]).collect()}
+    assert got == {"Acme", "a:1"}
+    # negated set of two
+    got = {r.o for r in bgp_match(
+        triples,
+        [("m:1", parse_path("!(<rdf:type>|<kbo:legalName>)"), "?o")]
+    ).collect()}
+    assert got == {"a:1"}
+    # inverse-only member: ?s !(^p) o ranges over reversed edges, i.e.
+    # o <non-p> ?s — m:1's own objects through non-knows predicates
+    got = {r.s for r in bgp_match(
+        triples, [("?s", parse_path("!(^<kbo:knows>)"), "m:1")]).collect()}
+    assert got == {"Acme", "a:1", "kbo:Enterprise"}
+    got = {r.s for r in bgp_match(
+        triples, [("?s", parse_path("!(^<rdf:type>)"), "a:1")]).collect()}
+    assert got == {"1000"}  # a:1's one non-type object (postCode)
+    # mixed: union of both parts
+    got = {(r.x, r.y) for r in bgp_match(
+        triples,
+        [("?x", parse_path("!(<kbo:postCode>|^<kbo:registeredAddress>)"),
+          "?y")]).collect()}
+    assert ("a:1", "1000") not in got        # forward pc negated
+    assert ("a:1", "m:1") not in got         # reversed addr negated
+    assert ("m:1", "Acme") in got            # other forward edges match
+    assert ("Acme", "m:1") in got            # other reversed edges match
+    # NPS composes with sequences
+    got = {r.z for r in bgp_match(
+        triples,
+        [("m:2", parse_path("!<rdf:type>/<kbo:postCode>"), "?z")]).collect()}
+    assert got == {"2000"}
+    # query-side only: the extraction hooks raise
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        parse_path("!<rdf:type>").found(frozenset(), "")
+
+
 def test_union_of_groups(spark, triples):
     """SPARQL UNION: bag union of branch solutions; branch-exclusive
     variables are NULL (unbound) in the other branches."""

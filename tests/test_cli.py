@@ -267,3 +267,19 @@ def test_cli_query_quoted_literal_with_space(spark, capsys, tmp_path):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert out[1:] == ["http://example.org/m5"]
+
+
+def test_cli_query_group_by_agg(spark, capsys, query_data):
+    rc = main([
+        "query", "--data", query_data,
+        "--pattern",
+        "?m <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://example.org/Company>",
+        "--pattern", "?m <http://example.org/addr> ?a",
+        "--pattern", "?a <http://example.org/zip> ?z",
+        "--agg", "n=count(*)", "--agg", "zmax=max(?z)",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["n", "zmax"]
+    assert out[1].split("\t") == ["2", "2000"]
