@@ -383,6 +383,30 @@ def test_materialize_waves_modes_agree(spark):
     assert sets[0] == sets[1] and len(sets[0]) > 0
 
 
+def test_latency_broadcast_budget_fallback_deep_chain(spark):
+    """A blank chain deeper than the latency mode's broadcast budget:
+    the early waves broadcast, the rest fall back to shuffle-hash —
+    extraction must stay complete and exact (this depth class is what
+    OOMed the driver when every wave pinned a broadcast)."""
+    from extract_cbd_shape_spark.model import quad_schema
+
+    depth = 60  # > _LATENCY_BCAST_BUDGET (24) waves
+    rows = []
+    prev = ("root:entity", 0)
+    for i in range(depth):
+        node = (f"b{i}", 1)
+        rows.append((prev[0], prev[1], "p:next", node[0], node[1],
+                     None, None, None, None))
+        prev = node
+    rows.append((prev[0], prev[1], "p:val", "done", 2, None, None,
+                 None, None))
+    df = spark.createDataFrame(rows, quad_schema())
+    ex = BulkCBDShapeExtractor(spark)
+    res, _ = ex.extract(df, [Term(IRI, "root:entity")])
+    assert res.count() == depth + 1
+    ex.release()
+
+
 def test_latency_and_scale_modes_agree(spark):
     """Latency mode (broadcast counted frontiers, un-repartitioned
     cached store, no object-keyed copy) and scale mode (shuffle-hash
