@@ -191,12 +191,22 @@ def _child_ingest() -> dict:
 
 
 def _child_pipeline() -> dict:
-    """End-to-end KG pipeline into a fresh warehouse, own JVM."""
+    """End-to-end KG pipeline into a fresh warehouse, own JVM. Warmed
+    at sf0.001 first, like every query child — otherwise the JVM's
+    JIT/codegen cold-start books itself into the first stage's timing
+    (measured ~5s of the parse stage before this warm-up existed)."""
     from extract_cbd_shape_spark.plans.pipeline import KGConstructionPipeline
     from extract_cbd_shape_spark.sources.pages import synth_pages
 
     spark = build_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    warm_wh = tempfile.mkdtemp(prefix="kgwarm_")
+    try:
+        KGConstructionPipeline(spark, warm_wh).run(
+            synth_pages(spark, WARM_SF), resume=False)
+    finally:
+        shutil.rmtree(warm_wh, ignore_errors=True)
+    _release_cached(spark)
     wh = tempfile.mkdtemp(prefix="kgbench_")
     try:
         t0 = time.time()

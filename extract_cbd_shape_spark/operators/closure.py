@@ -157,3 +157,50 @@ def connected_components(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         if changed:
             break
     return parent.select(F.col("u").alias("node"), F.col("p").alias("component"))
+
+
+def connected_components_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find for SMALL edge sets — same contract as
+    `connected_components` ((node, component), component = min node id
+    of the cluster), computed in one collect + O(E α(E)) Python.
+
+    The distributed loop pays several fixed-cost Spark rounds per
+    iteration (joins, checkpoints, emptiness probes) — the right shape
+    for billions of edges, pure overhead for thousands. Callers that
+    already KNOW the edge count (e.g. a snapshot manifest's row count)
+    route small graphs here and never pay a probe job; the KG
+    pipeline's canonicalize stage does exactly that (its link graph is
+    orders of magnitude smaller than the corpus). Collect volume is
+    the caller's responsibility — bound it by the known row count.
+    """
+    rows = edges.select("src", "dst").collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a, b):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root keeps the component label = min node id
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+
+    for r in rows:
+        union(r.src, r.dst)
+    out = [(n, find(n)) for n in parent]
+    spark = edges.sparkSession
+    if not out:
+        return edges.select(
+            F.col("src").alias("node"), F.col("dst").alias("component")
+        ).limit(0)
+    return spark.createDataFrame(out, ["node", "component"])

@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from extract_cbd_shape_spark.model import BLANK, IRI, LITERAL, Term
-from extract_cbd_shape_spark.operators.closure import connected_components
+from extract_cbd_shape_spark.operators.closure import (
+    connected_components,
+    connected_components_driver,
+)
 from extract_cbd_shape_spark.operators.extract import BulkCBDShapeExtractor, Member
 from extract_cbd_shape_spark.operators.linking import link_mentions
 from extract_cbd_shape_spark.shapes.compiler import ShapesGraph
@@ -42,6 +45,14 @@ from extract_cbd_shape_spark.sources.pages import extract_page_triples
 # single store-local task, so it routes through the global fixpoint
 # engine instead. Detected once at ingest (manifest giant_stores).
 GIANT_PAGE_QUADS = 2_000_000
+
+# Link graphs at or below this many edges canonicalize with the
+# driver-side union-find (operators/closure.py::
+# connected_components_driver) — ~100 MB of collected edge rows at the
+# limit, far below driver heap; above it, the distributed
+# large-star/small-star loop. The count comes from the links snapshot
+# manifest, so the routing costs no probe job.
+DRIVER_CC_MAX_EDGES = 1_000_000
 
 
 class KGConstructionPipeline:
@@ -409,7 +420,17 @@ class KGConstructionPipeline:
             edges = links.select(
                 F.col("subject").alias("src"), F.col("object_value").alias("dst")
             )
-            comps = connected_components(edges)
+            # The link graph is orders of magnitude smaller than the
+            # corpus; its row count is already in the snapshot manifest
+            # (zero probe jobs). Small graphs take the driver-side
+            # union-find — the distributed loop's per-iteration fixed
+            # costs (joins + checkpoints + probes) dominate there —
+            # while big graphs keep the large-star/small-star loop.
+            n_links = (latest_manifest(self._table("links")) or {}).get("rows")
+            if n_links is not None and n_links <= DRIVER_CC_MAX_EDGES:
+                comps = connected_components_driver(edges)
+            else:
+                comps = connected_components(edges)
             entities = comps.select(
                 F.col("node").alias("entity_iri"),
                 F.xxhash64("component").alias("canonical_id"),

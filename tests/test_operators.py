@@ -318,3 +318,29 @@ def test_semantic_dedup_string_ids(spark):
     assert out["doc:a"].keep and out["doc:a"].rep_id == "doc:a"
     assert not out["doc:b"].keep and out["doc:b"].rep_id == "doc:a"
     assert out["doc:z"].keep
+
+
+def test_connected_components_driver_parity(spark):
+    """Driver union-find == distributed large-star/small-star on random
+    graphs (same (node, component=min id) contract)."""
+    import random
+
+    from extract_cbd_shape_spark.operators.closure import (
+        connected_components,
+        connected_components_driver,
+    )
+
+    rng = random.Random(5)
+    for trial in range(4):
+        n = rng.randint(2, 60)
+        edges = [(f"n{rng.randint(0, n)}", f"n{rng.randint(0, n)}")
+                 for _ in range(rng.randint(1, 120))]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        a = {(r.node, r.component)
+             for r in connected_components(df).collect()}
+        b = {(r.node, r.component)
+             for r in connected_components_driver(df).collect()}
+        assert a == b, (trial, sorted(a ^ b)[:6])
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert connected_components_driver(empty).count() == 0
