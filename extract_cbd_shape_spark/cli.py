@@ -246,6 +246,22 @@ def cmd_query(args: argparse.Namespace) -> int:
     data = quads_to_df(spark, load_shape_quads(args.data))
     patterns = [_query_pattern(s) for s in args.pattern]
     has_path = any(not isinstance(p[1], str) for p in patterns)
+    if args.ask:
+        from extract_cbd_shape_spark.operators.bgp import bgp_ask
+
+        ok = bgp_ask(data, patterns, filters=args.filter or None)
+        print("true" if ok else "false")
+        return 0
+    if args.describe:
+        from extract_cbd_shape_spark.model import QUAD_COLS
+        from extract_cbd_shape_spark.operators.bgp import bgp_describe
+
+        res = bgp_describe(
+            data, patterns, args.describe, filters=args.filter or None,
+        ).select(*QUAD_COLS).dropDuplicates()
+        lines = [r.line for r in to_nquads(res).orderBy("line").collect()]
+        sys.stdout.write("\n".join(lines) + ("\n" if lines else ""))
+        return 0
     if args.construct:
         template = [_query_pattern(s) for s in args.construct]
         g = bgp_construct(
@@ -348,6 +364,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     pq.add_argument("--construct", action="append", metavar="'?s pred ?o'",
                     help="CONSTRUCT template triple (repeatable); "
                          "output becomes N-Quads instead of a table")
+    pq.add_argument("--ask", action="store_true",
+                    help="ASK form: print true/false instead of rows")
+    pq.add_argument("--describe", metavar="?var",
+                    help="DESCRIBE form: CBD of each distinct binding "
+                         "of ?var (extraction-engine-backed), N-Quads out")
     pq.add_argument("--distinct", action="store_true")
     pq.add_argument("--group-by", nargs="+", metavar="?var",
                     help="SPARQL GROUP BY variables")

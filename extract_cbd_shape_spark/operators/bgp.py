@@ -598,6 +598,7 @@ def bgp_match(
     literal_cols: bool = False,
     union: Optional[Sequence[Sequence[Tuple[str, str, str]]]] = None,
     values: Optional[Tuple[Sequence[str], Sequence[Sequence]]] = None,
+    bind: Optional[dict] = None,
     group_by: Optional[Sequence[str]] = None,
     aggregates: Optional[dict] = None,
     having: Optional[Sequence[str]] = None,
@@ -674,6 +675,12 @@ def bgp_match(
     class. UNDEF (None) is not supported — it would need a
     compatible-mapping join, raise instead of silently mis-joining.
 
+    ``bind``: SPARQL BIND — an ordered mapping of new variable name to
+    a Spark SQL expression over the solution columns (later binds see
+    earlier ones); applied after OPTIONAL/VALUES and before FILTER, so
+    filters/aggregates/modifiers can reference bound names. Pure
+    map-side projection.
+
     ``group_by``/``aggregates``/``having``: SPARQL aggregation.
     ``group_by`` lists grouping variables (``"?var"``); ``aggregates``
     maps output names to SPARQL aggregate expressions —
@@ -749,6 +756,8 @@ def bgp_match(
             [tuple(r) for r in rows],
             ", ".join(f"{n} string" for n in names))
         out = _join_solutions(out, F.broadcast(vdf))
+    for name, expr in (bind or {}).items():
+        out = out.withColumn(name, F.expr(expr))
     for expr in filters or []:
         out = out.filter(F.expr(expr))
     if group_by is not None or aggregates is not None:
@@ -920,3 +929,70 @@ def bgp_construct(
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out.dropDuplicates(QUAD_COLS) if distinct else out
+
+
+# ------------------------------------------------------------ ASK / DESCRIBE
+
+
+def bgp_ask(triples: DataFrame, patterns, **match_kwargs) -> bool:
+    """SPARQL ASK: does the pattern have at least one solution?
+    Compiles the same plan as `bgp_match` capped at one row — with AQE
+    the probe stops at the first matching partition, never a full
+    evaluation."""
+    return not bgp_match(triples, patterns, **match_kwargs).limit(1).isEmpty()
+
+
+def bgp_describe(
+    triples: DataFrame,
+    patterns,
+    var: str,
+    shapes_graph=None,
+    shape=None,
+    extractor=None,
+    **match_kwargs,
+) -> DataFrame:
+    """SPARQL DESCRIBE ``?var`` WHERE { patterns }: the description of
+    each distinct binding, computed by THE EXTRACTION ENGINE — CBD
+    star + blank closure + named-graph pickup (+ full SHACL shape
+    guidance when ``shapes_graph``/``shape`` are given). DESCRIBE's
+    result form is implementation-defined (SPARQL 16.4); Concise
+    Bounded Descriptions are the canonical choice and exactly what
+    this package's construction side computes, so the query surface
+    and the extraction engine meet here: one `bulkExtract`-style job
+    over the solution bindings.
+
+    Returns the extractor's result layout (``member_id``, quad
+    columns, ``entity``/``entity_kind``/...), one description per
+    distinct non-literal binding (literals have no description —
+    dropped, as rdf-library DESCRIBE implementations do). Pass an
+    ``extractor`` to reuse its caches/knobs (release() stays the
+    caller's job); otherwise one is built over the triples' session.
+
+    Patterns must bind ``var`` with kind columns available — property
+    paths in the predicate position lose kinds (module convention), so
+    a path-only binding raises: also bind the variable in one plain
+    pattern.
+    """
+    from extract_cbd_shape_spark.model import LITERAL
+    from extract_cbd_shape_spark.operators.extract import (
+        BulkCBDShapeExtractor,
+    )
+
+    if not _is_var(var):
+        raise ValueError(f"DESCRIBE target must be a ?variable: {var!r}")
+    name = var[1:]
+    sol = bgp_match(triples, patterns, with_kinds=True, **match_kwargs)
+    if f"{name}_kind" not in sol.columns:
+        raise ValueError(
+            f"DESCRIBE {var}: the pattern binds it without a kind column "
+            "(property-path binding?) — bind it in a plain pattern too")
+    seeds = (
+        sol.select(F.col(name).alias("entity"),
+                   F.col(f"{name}_kind").alias("entity_kind"))
+        .filter(F.col("entity_kind") != LITERAL)
+        .distinct()
+    )
+    ex = extractor or BulkCBDShapeExtractor(
+        triples.sparkSession, shapes_graph=shapes_graph)
+    results, _ = ex.extract(triples, seeds, shape=shape)
+    return results

@@ -589,6 +589,63 @@ def test_values_inline_data(spark, triples):
                   values=(["?m"], [(None,)]))
 
 
+def test_bind_expressions(spark, triples):
+    """SPARQL BIND: new variables from SQL expressions, visible to
+    FILTER/aggregates/modifiers; later binds see earlier ones."""
+    got = {(r.m, r.tag) for r in bgp_match(triples, [
+        ("?m", "kbo:registeredAddress", "?a"),
+        ("?a", "kbo:postCode", "?pc"),
+    ], bind={"num": "cast(pc as int)",
+             "tag": "concat(m, '#', num * 2)"},
+        filters=["num >= 1000"],
+        select=["?m", "?tag"]).collect()}
+    assert got == {("m:1", "m:1#2000"), ("m:2", "m:2#4000")}
+
+
+def test_ask(spark, triples):
+    from extract_cbd_shape_spark.operators.bgp import bgp_ask
+
+    assert bgp_ask(triples, [("?m", "rdf:type", "kbo:Enterprise")])
+    assert not bgp_ask(triples, [("?m", "rdf:type", "kbo:Nothing")])
+    assert bgp_ask(triples, [("?m", "kbo:registeredAddress", "?a"),
+                             ("?a", "kbo:postCode", "?pc")],
+                   filters=["pc >= '2000'"])
+    assert not bgp_ask(triples, [("?a", "kbo:postCode", "?pc")],
+                       filters=["pc > '9999'"])
+
+
+def test_describe_via_extraction_engine(spark):
+    """DESCRIBE ?x = the extraction engine's CBD of each distinct
+    binding — blank closure included, literals dropped."""
+    from extract_cbd_shape_spark.model import BLANK, quad_schema
+    from extract_cbd_shape_spark.operators.bgp import bgp_describe
+
+    rows = [
+        ("m:1", 0, "rdf:type", "kbo:Enterprise", 0, None, None, None, None),
+        ("m:1", 0, "kbo:addr", "b0", 1, None, None, None, None),
+        ("b0", 1, "kbo:zip", "1000", 2, None, None, None, None),
+        ("m:2", 0, "rdf:type", "kbo:Enterprise", 0, None, None, None, None),
+        ("m:3", 0, "rdf:type", "other:Thing", 0, None, None, None, None),
+        ("m:3", 0, "kbo:name", "N", 2, None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, quad_schema())
+    res = bgp_describe(df, [("?m", "rdf:type", "kbo:Enterprise")], "?m")
+    got = {(r.entity, r.subject, r.predicate, r.object_value)
+           for r in res.collect()}
+    assert got == {
+        ("m:1", "m:1", "rdf:type", "kbo:Enterprise"),
+        ("m:1", "m:1", "kbo:addr", "b0"),
+        ("m:1", "b0", "kbo:zip", "1000"),   # blank closure
+        ("m:2", "m:2", "rdf:type", "kbo:Enterprise"),
+    }
+    # literal bindings have no description
+    res = bgp_describe(df, [("m:3", "kbo:name", "?n")], "?n")
+    assert res.count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="variable"):
+        bgp_describe(df, [("?m", "rdf:type", "kbo:Enterprise")], "m")
+
+
 def test_group_by_aggregates(spark, triples):
     """SPARQL aggregation: GROUP BY + COUNT/MIN/GROUP_CONCAT compile to
     one hash aggregate; implicit single group without GROUP BY."""

@@ -283,3 +283,32 @@ def test_cli_query_group_by_agg(spark, capsys, query_data):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].split("\t") == ["n", "zmax"]
     assert out[1].split("\t") == ["2", "2000"]
+
+
+def test_cli_query_ask_and_describe(spark, capsys, query_data):
+    rc = main([
+        "query", "--data", query_data, "--ask",
+        "--pattern", "?m <http://example.org/name> ?n",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "true"
+
+    rc = main([
+        "query", "--data", query_data, "--ask",
+        "--pattern", "?m <http://example.org/nope> ?n",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "false"
+
+    rc = main([
+        "query", "--data", query_data, "--describe", "?m",
+        "--pattern",
+        "?m <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> "
+        "<http://example.org/Company>",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    # CBD of m1 and m2: 3 triples each (type, name, addr)
+    assert len(out) == 6
+    assert all(line.endswith(" .") for line in out)
+    assert any('"Acme"' in line for line in out)
