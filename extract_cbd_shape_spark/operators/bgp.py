@@ -965,8 +965,11 @@ def bgp_describe(
     columns, ``entity``/``entity_kind``/...), one description per
     distinct non-literal binding (literals have no description —
     dropped, as rdf-library DESCRIBE implementations do). Pass an
-    ``extractor`` to reuse its caches/knobs (release() stays the
-    caller's job); otherwise one is built over the triples' session.
+    ``extractor`` to control its caches/knobs — call ``release()``
+    after fully consuming the result. With ``extractor=None`` one is
+    built over the triples' session and its (store-sized) cache stays
+    resident until the session ends: long-lived drivers issuing many
+    DESCRIBEs should pass and release their own.
 
     Patterns must bind ``var`` with kind columns available — property
     paths in the predicate position lose kinds (module convention), so
