@@ -173,7 +173,10 @@ def _q_kbo_bulk_extract(spark, sf_dir):
     # the engine's final dedup narrows to the (empty) named-graph slice
     # and the output path runs shuffle-free (see extractor ctor doc).
     ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes, store_distinct=True)
-    results, _ = ex.extract(triples, members, shape=Term(IRI, KBO_SHAPE_IRI))
+    # members_distinct: kbo_members yields one seed per orders key —
+    # deterministic value-derived ids, no seed-set checkpoint barrier
+    results, _ = ex.extract(triples, members, shape=Term(IRI, KBO_SHAPE_IRI),
+                            members_distinct=True)
     return results.select("entity", "subject", "predicate", "object_value")
 
 
@@ -207,7 +210,8 @@ def _q_kbo_bulk_extract_inverse(spark, sf_dir):
     shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_INV_TTL))
     ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes,
                                store_distinct=True)
-    results, _ = ex.extract(triples, members, shape=Term(IRI, KBO_SHAPE_IRI))
+    results, _ = ex.extract(triples, members, shape=Term(IRI, KBO_SHAPE_IRI),
+                            members_distinct=True)
     return results.select("entity", "subject", "predicate", "object_value")
 
 

@@ -275,6 +275,7 @@ class BulkCBDShapeExtractor:
         graphs_to_ignore: Optional[Sequence[Term]] = None,
         bulk: bool = False,
         store_partitioned: bool = False,
+        members_distinct: bool = False,
     ) -> Tuple[DataFrame, DataFrame]:
         """Extract every member; returns (results, flags).
 
@@ -288,6 +289,26 @@ class BulkCBDShapeExtractor:
         ignores, per member, every *other* member's named graph
         (lib/CBDShapeExtractor.ts:95-99).
 
+        ``members_distinct`` is a caller contract for DataFrame
+        members: the seed set has no duplicate (entity, entity_kind)
+        rows (true for any ``.distinct()`` derivation — e.g. distinct
+        subjects of a store). ``input_idx`` then derives
+        DETERMINISTICALLY from the values (xxhash64), so the engine
+        skips the seed-set checkpoint it otherwise needs to pin the
+        nondeterministic ``monotonically_increasing_id`` — at corpus
+        scale that's a full materialization of a billion-row seed set
+        avoided; consumers re-derive the (narrow, pipelined) seed
+        lineage instead. Duplicate seeds under this contract would
+        collapse into one member. Without the contract (default),
+        duplicates are preserved at their input positions, matching
+        the reference's bulkExtract list semantics (positions come
+        from per-partition row ids — a UNION of branches with
+        overlapping partition numbering can collide; such callers
+        should provide their own ``input_idx``). A caller-provided
+        ``input_idx`` column is trusted to be DETERMINISTIC under
+        recomputation (literals, hashes, row ids of a checkpointed
+        frame — not a bare monotonically_increasing_id).
+
         ``store_partitioned=True`` declares that ``triples`` is already
         clustered by (subject, subject_kind) — a bucketed-table read or
         an upstream repartition — so the engine skips its own full-store
@@ -300,18 +321,32 @@ class BulkCBDShapeExtractor:
             mdf = members
             if "shape_key" not in mdf.columns:
                 mdf = mdf.withColumn("shape_key", sk)
-            if "input_idx" not in mdf.columns:
+            if "entity_kind" not in mdf.columns:
+                mdf = mdf.withColumn("entity_kind", F.lit(IRI).cast("tinyint"))
+            if "input_idx" in mdf.columns:
+                deterministic = True
+            elif members_distinct:
+                # distinct-seeds contract: ids derive from the values —
+                # no checkpoint needed, the lineage is deterministic
+                mdf = mdf.withColumn(
+                    "input_idx", F.xxhash64("entity", "entity_kind"))
+                deterministic = True
+            else:
                 mdf = mdf.withColumn(
                     "input_idx", F.monotonically_increasing_id()
                 )
-            if "entity_kind" not in mdf.columns:
-                mdf = mdf.withColumn("entity_kind", F.lit(IRI).cast("tinyint"))
+                deterministic = False
             mdf = mdf.withColumn(
                 "member_id", F.xxhash64("entity", "entity_kind", "input_idx")
-            ).localCheckpoint()
-            # One cheap count over the just-checkpointed seeds: the
-            # driver-known size that picks latency vs scale mode (see
-            # ctor doc on broadcast_members_max).
+            )
+            if not deterministic:
+                # pin the nondeterministic ids before anything consumes
+                # them twice
+                mdf = mdf.localCheckpoint()
+            # One cheap count over the seeds: the driver-known size
+            # that picks latency vs scale mode (see ctor doc on
+            # broadcast_members_max). For deterministic seeds this one
+            # scan is the only job the seed set costs up front.
             n_members = mdf.count()
             # Seed shape keys are compile-time constants unless the
             # caller shipped a custom per-member shape_key column.

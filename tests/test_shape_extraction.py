@@ -383,6 +383,43 @@ def test_materialize_waves_modes_agree(spark):
     assert sets[0] == sets[1] and len(sets[0]) > 0
 
 
+def test_members_distinct_contract_parity(spark):
+    """members_distinct=True (value-derived deterministic ids, no seed
+    checkpoint) must produce the same quads as the default path; and
+    duplicate seeds collapse under the contract while the default
+    keeps them as separate members (reference list semantics)."""
+    from extract_cbd_shape_spark.operators.kgtriples import (
+        KBO_SHAPE_IRI, KBO_SHAPE_TTL, kbo_members)
+
+    triples, members = kbo_members(spark, "/root/testdata/sf0.001")
+    shapes = ShapesGraph.from_quads(parse_trig(KBO_SHAPE_TTL))
+    shape = Term(IRI, KBO_SHAPE_IRI)
+    cols = ["entity", "subject", "predicate", "object_value"]
+    sets = []
+    for md in (False, True):
+        ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+        res, _ = ex.extract(triples, members, shape=shape,
+                            members_distinct=md)
+        sets.append({tuple(r) for r in res.select(*cols).collect()})
+        ex.release()
+    assert sets[0] == sets[1] and len(sets[0]) > 0
+
+    # duplicate seeds: default = two members, contract = one.
+    # kbo_members ships its own input_idx (identical provided ids
+    # legitimately collapse) — drop it to exercise the engine's row-id
+    # path; repartition(1) gives the union one partition numbering
+    # (per-partition row ids, see extract() doc)
+    one = members.select("entity", "entity_kind").limit(1)
+    dup = one.unionByName(one).repartition(1)
+    ex = BulkCBDShapeExtractor(spark, shapes_graph=shapes)
+    r_default, _ = ex.extract(triples, dup, shape=shape)
+    assert r_default.select("member_id").distinct().count() == 2
+    r_contract, _ = ex.extract(triples, dup, shape=shape,
+                               members_distinct=True)
+    assert r_contract.select("member_id").distinct().count() == 1
+    ex.release()
+
+
 def test_latency_broadcast_budget_fallback_deep_chain(spark):
     """A blank chain deeper than the latency mode's broadcast budget:
     the early waves broadcast, the rest fall back to shuffle-hash —
